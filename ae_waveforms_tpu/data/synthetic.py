@@ -1,0 +1,74 @@
+"""Parametric synthetic ECG generator.
+
+Used for offline operation (no VitalDB network access), tests and
+benchmarks.  Produces a P-QRS-T morphology as a sum of Gaussian waves per
+beat (ECGSYN-style), with heart-rate variability, amplitude jitter,
+measurement noise, baseline wander and optional NaN dropouts — enough
+structure for the R-peak detector, QC filters and delineator to operate on
+realistically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["synthetic_ecg_record", "synthetic_beat"]
+
+# (latency s relative to R, amplitude mV, width s) per wave
+_WAVES = {
+    "P": (-0.17, 0.15, 0.024),
+    "Q": (-0.025, -0.12, 0.010),
+    "R": (0.0, 1.1, 0.011),
+    "S": (0.026, -0.20, 0.011),
+    "T": (0.24, 0.31, 0.045),
+}
+
+
+def synthetic_beat(t: np.ndarray, amp_scale: float = 1.0) -> np.ndarray:
+    """Beat morphology evaluated at times t (s, R peak at 0)."""
+    y = np.zeros_like(t)
+    for mu, a, s in _WAVES.values():
+        y = y + a * amp_scale * np.exp(-((t - mu) ** 2) / (2 * s**2))
+    return y
+
+
+def synthetic_ecg_record(
+    duration_s: float = 120.0,
+    fs: int = 500,
+    hr_bpm: float = 72.0,
+    hr_std_bpm: float = 2.0,
+    noise_std: float = 0.02,
+    wander_amp: float = 0.08,
+    nan_gaps: int = 0,
+    seed: int = 0,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """A (T,) float64 ECG-II-like record at fs Hz."""
+    rng = rng or np.random.default_rng(seed)
+    T = int(duration_s * fs)
+    t = np.arange(T) / fs
+
+    # beat times with HRV
+    beat_times = []
+    cur = rng.uniform(0.4, 0.9)
+    while cur < duration_s:
+        beat_times.append(cur)
+        rr = 60.0 / max(hr_bpm + rng.normal(0, hr_std_bpm), 20.0)
+        cur += rr
+    sig = np.zeros(T)
+    for bt in beat_times:
+        lo = max(0, int((bt - 0.4) * fs))
+        hi = min(T, int((bt + 0.45) * fs))
+        amp = 1.0 + rng.normal(0, 0.03)
+        sig[lo:hi] += synthetic_beat(t[lo:hi] - bt, amp)
+
+    # baseline wander (respiratory) + powerline-ish noise + white noise
+    sig += wander_amp * np.sin(2 * np.pi * 0.25 * t + rng.uniform(0, 2 * np.pi))
+    sig += noise_std * rng.standard_normal(T)
+
+    for _ in range(nan_gaps):
+        g0 = rng.integers(0, T - fs)
+        sig[g0 : g0 + rng.integers(fs // 2, 2 * fs)] = np.nan
+    return sig

@@ -1,0 +1,23 @@
+"""Test configuration: force an 8-device virtual CPU platform (the TPU-world
+answer to multi-node testing without a cluster).
+
+The container's sitecustomize pre-imports jax and registers the axon TPU
+backend with JAX_PLATFORMS=axon, so plain env vars are too late here —
+``jax.config.update`` switches the platform post-import, and XLA_FLAGS is
+still honoured because no backend has been initialised yet when pytest
+imports this file.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
