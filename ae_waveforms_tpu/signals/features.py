@@ -17,6 +17,7 @@ The output is the 35-column feature row of the ``np_features`` contract
 
 from __future__ import annotations
 
+import warnings
 from typing import Dict, List, Sequence
 
 import numpy as np
@@ -67,9 +68,11 @@ def morphology_features(
 
     def dy(peak: str, baseline) -> np.ndarray:
         if isinstance(baseline, list):
-            base = np.nanmax(
-                np.stack([relative[baseline[0]]["y"], relative[baseline[1]]["y"]]), axis=0
-            )
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", category=RuntimeWarning)
+                base = np.nanmax(
+                    np.stack([relative[baseline[0]]["y"], relative[baseline[1]]["y"]]), axis=0
+                )
         else:
             base = relative[baseline]["y"]
         return np.asarray(relative[peak]["y"]) - np.asarray(base)
@@ -100,15 +103,12 @@ def median_feature_row(
 ) -> np.ndarray:
     """The (35,) feature row: 10 x (median x, median y) then 15 morphology
     medians, in the np_features column order."""
-    with np.errstate(all="ignore"):
-        import warnings
-
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", category=RuntimeWarning)
-            row = []
-            for name in FIDUCIAL_NAMES:
-                row.append(np.nanmedian(relative[name]["x"]))
-                row.append(np.nanmedian(relative[name]["y"]))
-            for name in MORPHOLOGY_NAMES:
-                row.append(np.nanmedian(morphology[name]))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        row = []
+        for name in FIDUCIAL_NAMES:
+            row.append(np.nanmedian(relative[name]["x"]))
+            row.append(np.nanmedian(relative[name]["y"]))
+        for name in MORPHOLOGY_NAMES:
+            row.append(np.nanmedian(morphology[name]))
     return np.asarray(row, float)

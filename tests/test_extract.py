@@ -1,0 +1,73 @@
+"""End-to-end extraction pipeline tests on synthetic records."""
+
+import numpy as np
+
+from ae_waveforms_tpu.core.config import ExtractionConfig
+from ae_waveforms_tpu.core.schema import ArraySet
+from ae_waveforms_tpu.data.arrays import build_arrays
+from ae_waveforms_tpu.data.extract import extract_case, extract_cases
+from ae_waveforms_tpu.data.synthetic import synthetic_ecg_record
+
+
+def _cfg(**kw):
+    return ExtractionConfig(precision="float64", **kw)
+
+
+def test_extract_case_end_to_end():
+    rec = synthetic_ecg_record(duration_s=85.0, seed=0)
+    r = extract_case(1, rec, _cfg())
+    assert r.n_windows_raw == 4
+    assert 1 <= len(r.waves) <= 4
+    assert r.waves.shape[1] == 320
+    assert r.features.shape == (len(r.waves), 35)
+    # median beats are z-scored-ish waveforms with an R peak near index 106
+    peak_pos = np.argmax(r.waves, axis=1)
+    assert np.all(np.abs(peak_pos - 106) < 8)
+    # fiducial medians: R onset (col 8=x) should be negative ms, T peak x positive
+    assert np.all(r.features[:, 14] > 0)  # T peak x after R
+    # most features should be finite
+    assert np.isfinite(r.features).mean() > 0.8
+
+
+def test_extract_cache_roundtrip(tmp_path):
+    rec = synthetic_ecg_record(duration_s=45.0, seed=1)
+    cfg = _cfg()
+    r1 = extract_case(7, rec, cfg, cache_dir=str(tmp_path))
+    r2 = extract_case(7, None, cfg, cache_dir=str(tmp_path))  # cache hit, no record needed
+    np.testing.assert_array_equal(r1.waves, r2.waves)
+    np.testing.assert_array_equal(r1.features, r2.features)
+    np.testing.assert_array_equal(r1.indices, r2.indices)
+
+
+def test_extract_with_nan_gaps():
+    rec = synthetic_ecg_record(duration_s=65.0, seed=2, nan_gaps=2)
+    r = extract_case(3, rec, _cfg())
+    # NaN-containing windows are dropped, others survive
+    assert len(r.waves) <= r.n_windows_raw
+    assert np.isfinite(r.waves).all()
+
+
+def test_build_arrays_contract():
+    cfg = _cfg()
+    cases = extract_cases(
+        [1, 2],
+        lambda cid: synthetic_ecg_record(duration_s=45.0, seed=cid),
+        cfg,
+    )
+    arrays = build_arrays(cases)
+    assert isinstance(arrays, ArraySet)
+    assert arrays.waves.dtype == np.float32
+    assert set(np.unique(arrays.info[:, 0])) <= {1.0, 2.0}
+    # window-end indices are multiples of 10000
+    assert np.all(arrays.info[:, 1] % 10000 == 0)
+
+
+def test_save_load_roundtrip(tmp_path):
+    from ae_waveforms_tpu.core.schema import load_arrays, save_arrays
+
+    cases = extract_cases([5], lambda cid: synthetic_ecg_record(duration_s=45.0, seed=9), _cfg())
+    arrays = build_arrays(cases)
+    save_arrays(arrays, str(tmp_path))
+    back = load_arrays(str(tmp_path))
+    np.testing.assert_allclose(back.waves, arrays.waves)
+    np.testing.assert_allclose(back.features, arrays.features)
