@@ -1,0 +1,167 @@
+"""Primitive layers with PyTorch-compatible semantics and initialisation.
+
+These are pure functions over explicit parameter pytrees — no framework
+module system — so the train step is a single jit-compiled function and
+parameters shard trivially under pjit.
+
+LSTM: gate order (i, f, g, o), both b_ih and b_hh biases, h = o * tanh(c),
+uniform(-1/sqrt(H), 1/sqrt(H)) init — the semantics of torch.nn.LSTM that the
+reference models rely on (model_classes.py:8-45).  The input projection for
+the whole sequence is hoisted out of the scan into one large (B*T, in) @
+(in, 4H) matmul for the MXU; the scan carries only the (B, H) @ (H, 4H)
+recurrent matmul.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "lstm_init",
+    "lstm_apply",
+    "linear_init",
+    "linear_apply",
+    "conv1d_init",
+    "conv1d_apply",
+    "conv1d_transpose_apply",
+    "avg_pool1d",
+    "upsample_linear",
+    "dropout",
+]
+
+Params = Dict[str, jnp.ndarray]
+
+
+# ------------------------------- LSTM ---------------------------------------
+
+
+def lstm_init(key, input_size: int, hidden_size: int, dtype=jnp.float32) -> Params:
+    k = 1.0 / math.sqrt(hidden_size)
+    ks = jax.random.split(key, 4)
+    u = lambda kk, shape: jax.random.uniform(kk, shape, dtype, -k, k)
+    return {
+        "w_ih": u(ks[0], (4 * hidden_size, input_size)),
+        "w_hh": u(ks[1], (4 * hidden_size, hidden_size)),
+        "b_ih": u(ks[2], (4 * hidden_size,)),
+        "b_hh": u(ks[3], (4 * hidden_size,)),
+    }
+
+
+def lstm_apply(params: Params, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """x: (B, T, in) -> (outputs (B, T, H), last hidden (B, H)).
+
+    Zero initial (h, c), matching torch defaults.
+    """
+    B, T, _ = x.shape
+    H = params["w_hh"].shape[1]
+    # hoisted input projection: one MXU matmul for the whole sequence
+    gates_x = x @ params["w_ih"].T + (params["b_ih"] + params["b_hh"])  # (B, T, 4H)
+    w_hh_t = params["w_hh"].T
+
+    def step(carry, gx):
+        h, c = carry
+        gates = gx + h @ w_hh_t
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    h0 = jnp.zeros((B, H), x.dtype)
+    (h_last, _), hs = jax.lax.scan(step, (h0, h0), jnp.swapaxes(gates_x, 0, 1))
+    return jnp.swapaxes(hs, 0, 1), h_last
+
+
+# ------------------------------ Linear --------------------------------------
+
+
+def linear_init(key, in_features: int, out_features: int, dtype=jnp.float32) -> Params:
+    k = 1.0 / math.sqrt(in_features)
+    k1, k2 = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(k1, (out_features, in_features), dtype, -k, k),
+        "b": jax.random.uniform(k2, (out_features,), dtype, -k, k),
+    }
+
+
+def linear_apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return x @ params["w"].T + params["b"]
+
+
+# ------------------------------- Conv ---------------------------------------
+
+
+def conv1d_init(key, in_ch: int, out_ch: int, kernel: int, dtype=jnp.float32, transpose: bool = False) -> Params:
+    # torch kaiming_uniform(a=sqrt(5)) reduces to uniform(-1/sqrt(fan_in), ..)
+    # with fan_in = in_ch * kernel; ConvTranspose1d fans on its in_channels too.
+    fan_in = in_ch * kernel
+    k = 1.0 / math.sqrt(fan_in)
+    k1, k2 = jax.random.split(key)
+    shape = (in_ch, out_ch, kernel) if transpose else (out_ch, in_ch, kernel)
+    return {
+        "w": jax.random.uniform(k1, shape, dtype, -k, k),
+        "b": jax.random.uniform(k2, (out_ch,), dtype, -k, k),
+    }
+
+
+def conv1d_apply(params: Params, x: jnp.ndarray, stride: int = 1, padding: int = 0) -> jnp.ndarray:
+    """x: (B, C, L) NCW; weight (out, in, K) — torch Conv1d layout."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        params["w"],
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return y + params["b"][None, :, None]
+
+
+def conv1d_transpose_apply(
+    params: Params, x: jnp.ndarray, stride: int = 2, padding: int = 1, output_padding: int = 1
+) -> jnp.ndarray:
+    """torch ConvTranspose1d semantics: L_out = (L-1)*s - 2p + K + op.
+
+    Implemented as an input-dilated convolution with the spatially flipped
+    kernel — the standard transpose-as-fractionally-strided-conv identity.
+    weight layout (in, out, K) as in torch.
+    """
+    w = params["w"]  # (in, out, K)
+    K = w.shape[-1]
+    w_flip = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # (out, in, K)
+    pad_lo = K - 1 - padding
+    pad_hi = K - 1 - padding + output_padding
+    y = jax.lax.conv_general_dilated(
+        x,
+        w_flip,
+        window_strides=(1,),
+        padding=[(pad_lo, pad_hi)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return y + params["b"][None, :, None]
+
+
+def avg_pool1d(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
+    """torch AvgPool1d (no padding, floor division of length)."""
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 1, window), (1, 1, stride), "VALID"
+    ) / float(window)
+
+
+def upsample_linear(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """torch nn.Upsample(size, mode='linear', align_corners=False):
+    half-pixel-centred linear resize along the last axis of (B, C, L)."""
+    B, C, L = x.shape
+    return jax.image.resize(x, (B, C, size), method="linear")
+
+
+def dropout(key, x: jnp.ndarray, rate: float, train: bool) -> jnp.ndarray:
+    if not train or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
