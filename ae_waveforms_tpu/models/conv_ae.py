@@ -33,6 +33,7 @@ __all__ = ["init", "encode", "forward", "latent_of"]
 
 
 def init(key, latent_size: int, dropout_rate: float = 0.2) -> Dict:
+    del dropout_rate  # dropout is a forward-time argument, not a parameter
     ks = jax.random.split(key, 10)
     return {
         "e1": conv1d_init(ks[0], 1, 16, 3),
@@ -45,12 +46,10 @@ def init(key, latent_size: int, dropout_rate: float = 0.2) -> Dict:
         "d2": conv1d_init(ks[7], 64, 32, 3, transpose=True),
         "d3": conv1d_init(ks[8], 32, 16, 3, transpose=True),
         "d4": conv1d_init(ks[9], 16, 1, 3, transpose=True),
-        "_meta": {"dropout": dropout_rate},
     }
 
 
-def encode(params: Dict, x: jnp.ndarray, *, train: bool = False, rng=None) -> jnp.ndarray:
-    rate = params["_meta"]["dropout"]
+def encode(params: Dict, x: jnp.ndarray, *, train: bool = False, rng=None, rate: float = 0.2) -> jnp.ndarray:
     h = jax.nn.relu(conv1d_apply(params["e1"], x, stride=2, padding=1))  # (B,16,160)
     h = avg_pool1d(h)  # (B,16,80)
     h = jax.nn.relu(conv1d_apply(params["e2"], h, stride=2, padding=1))  # (B,32,40)
@@ -64,12 +63,11 @@ def encode(params: Dict, x: jnp.ndarray, *, train: bool = False, rng=None) -> jn
     return conv1d_apply(params["e_lat"], h)  # (B,latent,1)
 
 
-def forward(params: Dict, x: jnp.ndarray, *, train: bool = False, rng=None) -> jnp.ndarray:
-    rate = params["_meta"]["dropout"]
+def forward(params: Dict, x: jnp.ndarray, *, train: bool = False, rng=None, rate: float = 0.2) -> jnp.ndarray:
     ke = kd = None
     if train:
         ke, kd = jax.random.split(rng)
-    z = encode(params, x, train=train, rng=ke)
+    z = encode(params, x, train=train, rng=ke, rate=rate)
     h = jax.nn.relu(conv1d_transpose_apply(params["d_lat"], z, stride=1, padding=0, output_padding=0))
     h = upsample_linear(h, 3)
     h = jax.nn.relu(conv1d_transpose_apply(params["d1"], h))  # (B,64,6)->pinned next

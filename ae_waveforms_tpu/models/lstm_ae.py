@@ -22,6 +22,7 @@ __all__ = ["init", "encode", "decode", "forward", "latent_of"]
 
 
 def init(key, latent_size: int, dropout_rate: float = 0.2, hidden_sizes=(128, 64)) -> Dict:
+    del dropout_rate  # dropout is a forward-time argument, not a parameter
     ks = jax.random.split(key, 7)
     h1, h2 = hidden_sizes
     return {
@@ -32,12 +33,10 @@ def init(key, latent_size: int, dropout_rate: float = 0.2, hidden_sizes=(128, 64
         "dec2": lstm_init(ks[4], h2, h1),
         "dec3": lstm_init(ks[5], h1, 1),
         "out": linear_init(ks[6], 1, 1),
-        "_meta": {"dropout": dropout_rate},
     }
 
 
-def encode(params: Dict, x: jnp.ndarray, *, train: bool = False, rng=None) -> jnp.ndarray:
-    rate = params["_meta"]["dropout"]
+def encode(params: Dict, x: jnp.ndarray, *, train: bool = False, rng=None, rate: float = 0.2) -> jnp.ndarray:
     k1 = k2 = None
     if train:
         k1, k2 = jax.random.split(rng)
@@ -49,8 +48,7 @@ def encode(params: Dict, x: jnp.ndarray, *, train: bool = False, rng=None) -> jn
     return z  # (B, latent)
 
 
-def decode(params: Dict, z: jnp.ndarray, seq_len: int, *, train: bool = False, rng=None) -> jnp.ndarray:
-    rate = params["_meta"]["dropout"]
+def decode(params: Dict, z: jnp.ndarray, seq_len: int, *, train: bool = False, rng=None, rate: float = 0.2) -> jnp.ndarray:
     k1 = k2 = None
     if train:
         k1, k2 = jax.random.split(rng)
@@ -63,12 +61,12 @@ def decode(params: Dict, z: jnp.ndarray, seq_len: int, *, train: bool = False, r
     return linear_apply(params["out"], h)
 
 
-def forward(params: Dict, x: jnp.ndarray, *, train: bool = False, rng=None) -> jnp.ndarray:
+def forward(params: Dict, x: jnp.ndarray, *, train: bool = False, rng=None, rate: float = 0.2) -> jnp.ndarray:
     ke = kd = None
     if train:
         ke, kd = jax.random.split(rng)
-    z = encode(params, x, train=train, rng=ke)
-    return decode(params, z, x.shape[1], train=train, rng=kd)
+    z = encode(params, x, train=train, rng=ke, rate=rate)
+    return decode(params, z, x.shape[1], train=train, rng=kd, rate=rate)
 
 
 def latent_of(params: Dict, x: jnp.ndarray) -> jnp.ndarray:

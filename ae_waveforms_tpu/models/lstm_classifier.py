@@ -25,6 +25,7 @@ _BN_MOMENTUM = 0.1
 
 
 def init(key, dropout_rate: float = 0.2, hidden_sizes=(128, 64)) -> Tuple[Dict, Dict]:
+    del dropout_rate  # dropout is a forward-time argument, not a parameter
     h1, h2 = hidden_sizes
     ks = jax.random.split(key, 6)
     params = {
@@ -36,16 +37,14 @@ def init(key, dropout_rate: float = 0.2, hidden_sizes=(128, 64)) -> Tuple[Dict, 
         "fc2": linear_init(ks[5], 32, 1),
         "bn_gamma": jnp.ones((h2,)),
         "bn_beta": jnp.zeros((h2,)),
-        "_meta": {"dropout": dropout_rate},
     }
     state = {"bn_mean": jnp.zeros((h2,)), "bn_var": jnp.ones((h2,))}
     return params, state
 
 
 def forward(
-    params: Dict, state: Dict, x: jnp.ndarray, *, train: bool = False, rng=None
+    params: Dict, state: Dict, x: jnp.ndarray, *, train: bool = False, rng=None, rate: float = 0.2
 ) -> Tuple[jnp.ndarray, Dict]:
-    rate = params["_meta"]["dropout"]
     k1 = k2 = None
     if train:
         k1, k2 = jax.random.split(rng)

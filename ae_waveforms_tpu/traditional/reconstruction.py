@@ -1,0 +1,216 @@
+"""Gaussian-kernel beat reconstruction from fiducial points.
+
+Capability twin of functions_traditional/signal_reconstruction.py:5-101,
+re-designed as a fixed-shape batched kernel.  Semantics replicated:
+
+- 13 anchor slots: baseline at x_t[0], the 11 fiducials (10 + R), baseline
+  at x_t[-1]; NaN-masked slots are dropped, survivors sorted by x, then
+  duplicate x values are nudged by +dt (skip-first, add-step-to-later,
+  repeated until unique — :63-79);
+- per consecutive pair, a Gaussian bump anchored at the higher-y end with
+  sigma = |dx| / sigma_map[i], where the divisor index walks the *original*
+  slot order and a dropped slot forces divisor 1 for the crossing segment
+  (:28-31);
+- the bump is evaluated on the integer grid arange(int(x1), int(x2))
+  (truncation toward zero) and affinely rescaled to hit both endpoints
+  (:5-14); segments outside (x_t[0], x_t[-1]) or with dx <= 1 are skipped;
+- all segments are concatenated and the concatenation is *uniformly*
+  stretched onto the 320-point grid with linear interpolation (:42) —
+  including the reference's quirk that segment positions are forgotten and
+  only their order/length matters.
+
+TPU design: everything is masks + gathers over a fixed segment buffer; the
+whole objective of the sigma search (candidates x samples) is one vmapped
+device call instead of 2000 x |test set| Python loops.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "reconstruct_gaussian",
+    "reconstruct_gaussian_batch",
+    "extract_coordinates",
+    "reconstruct_akima",
+    "reconstruct_pchip",
+    "reconstruct_akima_pchip_mean",
+]
+
+N_SLOTS = 13  # baseline + 11 fiducials + baseline
+N_PAIRS = N_SLOTS - 1
+BUF = 1024  # >= max total concatenated segment length (x span is ~640 ms at 1 ms steps)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _recon_one(x: jnp.ndarray, y: jnp.ndarray, x_t: jnp.ndarray, baseline, sigma_map: jnp.ndarray):
+    """Reconstruct one beat: x, y (11,), x_t (T,), baseline (), sigma_map (12,)."""
+    dtype = x_t.dtype
+    x_t0, x_t1 = x_t[0], x_t[-1]
+    dt = x_t[1] - x_t[0]
+
+    xs0 = jnp.concatenate([x_t0[None], x, x_t1[None]])
+    ys0 = jnp.concatenate([baseline[None], y, baseline[None]])
+    nan_mask = jnp.isnan(xs0) | jnp.isnan(ys0)
+
+    # drop NaN slots, sort survivors by x (stable; +inf padding sinks)
+    x_sortable = jnp.where(nan_mask, jnp.inf, xs0)
+    order = jnp.argsort(x_sortable)
+    xs = x_sortable[order]
+    ys = jnp.where(nan_mask, 0.0, ys0)[order]
+    m = N_SLOTS - jnp.sum(nan_mask)
+
+    # duplicate nudging: up to N_SLOTS passes of "+dt if an earlier slot has
+    # an equal value" (signal_reconstruction.py:63-79 semantics)
+    def nudge_pass(_, cur):
+        eq_earlier = (cur[None, :] == cur[:, None]) & (
+            jnp.arange(N_SLOTS)[:, None] < jnp.arange(N_SLOTS)[None, :]
+        )
+        has_dup = jnp.any(eq_earlier, axis=0) & jnp.isfinite(cur)
+        return jnp.where(has_dup, cur + dt, cur)
+
+    xs = jax.lax.fori_loop(0, N_SLOTS, nudge_pass, xs)
+
+    # sigma divisor walk over original slot order: pair j gets
+    # sigma_map[i_nan] unless it crosses dropped slots (divisor forced 1)
+    def walk(carry, j):
+        i_nan = carry
+        div0 = sigma_map[jnp.clip(i_nan, 0, N_PAIRS - 1)]
+
+        def skip(c):
+            i, _ = c
+            return (i + 1, jnp.asarray(1.0, dtype))
+
+        def cond(c):
+            i, _ = c
+            return (i + 1 < N_SLOTS) & nan_mask[jnp.clip(i + 1, 0, N_SLOTS - 1)]
+
+        i_nan2, div = jax.lax.while_loop(cond, skip, (i_nan, div0.astype(dtype)))
+        return i_nan2 + 1, div
+
+    _, divisors = jax.lax.scan(walk, jnp.asarray(0, jnp.int32), jnp.arange(N_PAIRS))
+
+    # per-pair segment constants
+    j = jnp.arange(N_PAIRS)
+    x1, x2 = xs[j], xs[j + 1]
+    y1, y2 = ys[j], ys[j + 1]
+    pair_valid = (j + 1) < m
+    t1 = x1.astype(jnp.int32)  # int() truncation toward zero
+    t2 = x2.astype(jnp.int32)
+    emit = pair_valid & (x2 - x1 > 1) & (x2 > x_t0) & (x1 < x_t1)
+    seg_len = jnp.where(emit, jnp.maximum(t2 - t1, 0), 0)
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(seg_len).astype(jnp.int32)])
+    M = offsets[-1]
+
+    sigma = jnp.abs(x2 - x1) / divisors
+    a = jnp.maximum(y1, y2)
+    rising = y2 > y1
+    mu = jnp.where(rising, x2, x1)
+    inv2s2 = 1.0 / (2.0 * sigma * sigma)
+
+    def bump(tv, jj):
+        return a[jj] * jnp.exp(-((tv - mu[jj]) ** 2) * inv2s2[jj])
+
+    g_first = bump(t1.astype(dtype), j)
+    g_last = bump((t2 - 1).astype(dtype), j)
+
+    # scatter-free evaluation: each buffer slot finds its segment
+    p = jnp.arange(BUF)
+    seg_of = jnp.searchsorted(offsets[1:], p, side="right")
+    seg_of = jnp.clip(seg_of, 0, N_PAIRS - 1)
+    k = p - offsets[seg_of]
+    tv = (t1[seg_of] + k).astype(dtype)
+    g = bump(tv, seg_of)
+    ris = rising[seg_of]
+    den_r = g_last[seg_of] - g_first[seg_of]
+    den_f = g_first[seg_of] - g_last[seg_of]
+    val_r = (g - g_first[seg_of]) * (y2[seg_of] - y1[seg_of]) / den_r + y1[seg_of]
+    val_f = (g - g_last[seg_of]) * (y1[seg_of] - y2[seg_of]) / den_f + y2[seg_of]
+    buf = jnp.where(ris, val_r, val_f)
+    buf = jnp.where(p < M, buf, 0.0)
+
+    # uniform stretch of the M concatenated samples onto x_t (np.interp of
+    # linspace(x_t0, x_t1, M) -> clamped linear interpolation)
+    Mf = jnp.maximum(M, 2).astype(dtype)
+    f = (x_t - x_t0) / (x_t1 - x_t0) * (Mf - 1.0)
+    f = jnp.clip(f, 0.0, Mf - 1.0)
+    lo = jnp.floor(f).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, M - 1)
+    w = f - lo.astype(dtype)
+    out = buf[lo] * (1 - w) + buf[hi] * w
+    out = jnp.where(M > 1, out, buf[0])
+    return out
+
+
+def reconstruct_gaussian(x, y, x_t, baseline, sigma_map):
+    """One-sample API mirroring the reference signature."""
+    return _recon_one(
+        jnp.asarray(x, jnp.float32),
+        jnp.asarray(y, jnp.float32),
+        jnp.asarray(x_t, jnp.float32),
+        jnp.asarray(baseline, jnp.float32),
+        jnp.asarray(sigma_map, jnp.float32),
+    )
+
+
+@jax.jit
+def reconstruct_gaussian_batch(xs, ys, x_t, baselines, sigma_map):
+    """(B, 11) fiducials -> (B, T) reconstructions, one device call."""
+    return jax.vmap(lambda x, y, b: _recon_one(x, y, x_t, b, sigma_map))(xs, ys, baselines)
+
+
+@jax.jit
+def reconstruct_gaussian_sweep(xs, ys, x_t, baselines, sigma_maps):
+    """(S, 12) sigma candidates x (B, 11) samples -> (S, B, T)."""
+    one = lambda sm: jax.vmap(lambda x, y, b: _recon_one(x, y, x_t, b, sm))(xs, ys, baselines)
+    return jax.vmap(one)(sigma_maps)
+
+
+# ----- spline alternatives (host-side, like the reference's scipy use) -------
+
+
+def extract_coordinates(x, y, x_t, baseline):
+    """Host helper returning the cleaned anchors (numpy), for the spline
+    methods and for tests."""
+    xs = np.concatenate([[x_t[0]], np.asarray(x, float), [x_t[-1]]])
+    ys = np.concatenate([[baseline], np.asarray(y, float), [baseline]])
+    nan_mask = np.isnan(xs) | np.isnan(ys)
+    xs, ys = xs[~nan_mask], ys[~nan_mask]
+    order = np.argsort(xs, kind="stable")
+    xs, ys = xs[order], ys[order]
+    step = x_t[1] - x_t[0]
+    for _ in range(len(xs)):
+        dup = np.zeros(len(xs), bool)
+        seen = {}
+        for i, v in enumerate(xs):
+            if v in seen:
+                dup[i] = True
+            else:
+                seen[v] = i
+        if not dup.any():
+            break
+        xs = xs + np.where(dup, step, 0.0)
+    return xs, ys, nan_mask
+
+
+def reconstruct_akima(x, y, x_t, baseline):
+    from scipy.interpolate import Akima1DInterpolator
+
+    xs, ys, _ = extract_coordinates(x, y, x_t, baseline)
+    return Akima1DInterpolator(xs, ys)(x_t)
+
+
+def reconstruct_pchip(x, y, x_t, baseline):
+    from scipy.interpolate import PchipInterpolator
+
+    xs, ys, _ = extract_coordinates(x, y, x_t, baseline)
+    return PchipInterpolator(xs, ys)(x_t)
+
+
+def reconstruct_akima_pchip_mean(akima, pchip):
+    return (akima + pchip) / 2.0

@@ -1,0 +1,87 @@
+"""Dataset splits and batch staging (reference: functions_ae/load_data.py).
+
+Patient-level splits: every unique case id is assigned to train/val/test by
+a seeded categorical draw (load_data.py:137-143); split masks are cached as
+``indices_{split}_{yymmdd}.npy`` in the dataset dir, re-used on later runs,
+copied into the run's results dir, and per-split subject-id CSVs are written
+(:161-196).  ``nr_train_ids`` optionally subsamples the training case ids;
+the legacy ``np.random`` stream is used so a seeded run reproduces the
+reference's selection procedure.
+
+On TPU the "DataLoader" is just device-resident arrays plus a permutation:
+batches are gathered inside the jitted step, so there are no host workers
+(the reference's num_workers machinery is unnecessary when the whole dataset
+lives in HBM).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["split_datasets", "save_subject_ids", "layout_waves"]
+
+
+def split_datasets(
+    info: np.ndarray,
+    dataset_dir: str,
+    results_dir: Optional[str] = None,
+    val_fraction: float = 0.2,
+    test_fraction: float = 0.1,
+    nr_train_ids: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Boolean masks (train, val, test) over rows of ``info`` (N, 2)."""
+    case_ids = info[:, 0]
+    patterns = {s: os.path.join(dataset_dir, f"indices_{s}_*.npy") for s in ("train", "val", "test")}
+    cached = {s: sorted(glob.glob(p)) for s, p in patterns.items()}
+
+    if all(cached.values()):
+        masks = {s: np.load(cached[s][0]) for s in cached}
+    else:
+        train_fraction = round(1.0 - val_fraction - test_fraction, 2)
+        unique_ids = np.unique(case_ids)
+        assignment = np.random.choice(
+            ["train", "val", "test"], size=len(unique_ids), p=[train_fraction, val_fraction, test_fraction]
+        )
+        masks = {}
+        for s in ("train", "val", "test"):
+            chosen = unique_ids[assignment == s]
+            masks[s] = np.isin(case_ids, chosen)
+        stamp = time.strftime("%y%m%d")
+        for s in masks:
+            np.save(os.path.join(dataset_dir, f"indices_{s}_{stamp}"), masks[s])
+
+    if nr_train_ids and nr_train_ids > 0:
+        unique_ids = np.unique(case_ids)
+        if len(unique_ids) > nr_train_ids:
+            selected = np.random.choice(unique_ids, size=nr_train_ids, replace=False)
+            masks["train"] = masks["train"] & np.isin(case_ids, selected)
+
+    if results_dir is not None:
+        os.makedirs(results_dir, exist_ok=True)
+        stamp = time.strftime("%y%m%d")
+        for s in masks:
+            np.save(os.path.join(results_dir, f"indices_{s}_{stamp}"), masks[s])
+        for s, label in (("train", "training"), ("val", "validation"), ("test", "testing")):
+            save_subject_ids(case_ids[masks[s]], label, results_dir)
+
+    return masks["train"], masks["val"], masks["test"]
+
+
+def save_subject_ids(subject_ids: np.ndarray, dataset: str, results_dir: str) -> None:
+    """Per-split subject-id CSV (load_data.py:185-196 contract)."""
+    ids, counts = np.unique(subject_ids, return_counts=True)
+    with open(os.path.join(results_dir, f"subject_ids_used_in_{dataset}.csv"), "wt") as f:
+        f.write("chart_names, counts\n")
+        for a, b in zip(ids, counts):
+            f.write(f"{a}, {b}\n")
+
+
+def layout_waves(waves: np.ndarray, channel_first: bool) -> np.ndarray:
+    """(N, 320) -> (N, 1, 320) for conv models, (N, 320, 1) for recurrent
+    (load_data.py:35-46 swap_dim)."""
+    return waves[:, None, :] if channel_first else waves[:, :, None]
