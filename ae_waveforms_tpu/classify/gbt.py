@@ -1,0 +1,278 @@
+"""Histogram gradient-boosted trees in pure JAX — the TPU-native stand-in
+for the XGBoost binary classifiers the reference trains thousands of times
+(main_ae_classify.py, main_ml_classify.py, analysis_PPV_hypokalaemia.py).
+
+TPU-first design
+----------------
+The classic CPU/GPU GBDT inner loop is a scatter-add histogram; scatters
+serialise badly on TPU.  Here the per-level (node, feature, bin) gradient/
+hessian histograms are *matmuls*: a static one-hot bin-indicator matrix
+B (n, F*bins) is built once per dataset, and each level computes
+
+    hist = (node_onehot * g)^T  @  B        # (nodes, F*bins) on the MXU
+
+so the entire tree-growing pass is systolic-array work.  Level-wise growth
+with fixed shapes (2^depth nodes), logistic loss, second-order gains with
+L2 lambda, gamma pruning, min_child_weight, per-tree row subsampling and
+column subsampling — the same knob set the reference's LHS sweep searches
+over.  Trees are grown under ``lax.scan``; the whole fit is one compiled
+program, and fits vmap over the 25-seed evaluation harness.
+
+This is a capability equivalent (same algorithm family and hyperparameters,
+comparable accuracy), not a bit-clone of the XGBoost C++ core — which is a
+consumed third-party dependency in the reference, not reference code.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["GBTClassifier", "fit_gbt", "predict_margin"]
+
+N_BINS = 64
+LAMBDA = 1.0  # xgboost reg_lambda default
+BASE_SCORE = 0.0  # margin of base_score 0.5
+
+
+class GBTEnsemble(NamedTuple):
+    feat: jnp.ndarray  # (T, max_nodes) int32 split feature per internal node
+    thresh: jnp.ndarray  # (T, max_nodes) int32 split bin (go left if bin <= thresh)
+    is_split: jnp.ndarray  # (T, max_nodes) bool
+    leaf: jnp.ndarray  # (T, 2 * max_nodes) leaf weights indexed by final node id
+    lr: jnp.ndarray  # scalar learning rate
+
+
+def compute_bin_edges(X: np.ndarray, n_bins: int = N_BINS) -> np.ndarray:
+    """Per-feature quantile bin edges, (F, n_bins - 1)."""
+    qs = np.linspace(0, 1, n_bins + 1)[1:-1]
+    return np.quantile(X, qs, axis=0).T.astype(np.float32)
+
+
+def bin_data(X: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """(n, F) -> int32 bin ids via searchsorted per feature."""
+    n, F = X.shape
+    out = np.empty((n, F), np.int32)
+    for f in range(F):
+        out[:, f] = np.searchsorted(edges[f], X[:, f], side="right")
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "n_estimators", "n_bins"),
+)
+def fit_gbt(
+    bins: jnp.ndarray,  # (n, F) int32 pre-binned features
+    y: jnp.ndarray,  # (n,) float32 in {0, 1}
+    row_weight: jnp.ndarray,  # (n,) float32 0/1 mask (training subset selection)
+    rng: jnp.ndarray,
+    max_depth: int = 6,
+    n_estimators: int = 100,
+    learning_rate: float = 0.3,
+    gamma: float = 0.0,
+    min_child_weight: float = 1.0,
+    subsample: float = 1.0,
+    colsample_bytree: float = 1.0,
+    n_bins: int = N_BINS,
+) -> GBTEnsemble:
+    n, F = bins.shape
+    max_nodes = 2**max_depth
+
+    # static one-hot bin indicators: (n, F * n_bins)
+    onehot = jax.nn.one_hot(bins + jnp.arange(F)[None, :] * n_bins, F * n_bins, dtype=jnp.float32)
+    onehot = onehot.sum(axis=1)  # collapse the F per-row one-hots into one row
+
+    lr = jnp.asarray(learning_rate, jnp.float32)
+    gamma = jnp.asarray(gamma, jnp.float32)
+    mcw = jnp.asarray(min_child_weight, jnp.float32)
+
+    def grow_tree(carry, key):
+        margin = carry
+        k_row, k_col = jax.random.split(key)
+        # subsample/colsample are traced scalars so one compilation serves
+        # every LHS hyperparameter candidate; rate 1.0 degenerates to all-true
+        sub = (jax.random.uniform(k_row, (n,)) < subsample).astype(jnp.float32)
+        w = row_weight * sub
+        col_mask = (jax.random.uniform(k_col, (F,)) < colsample_bytree).astype(jnp.float32)
+        # guarantee at least one active column
+        col_mask = jax.lax.cond(col_mask.sum() > 0, lambda m: m, lambda m: m.at[0].set(1.0), col_mask)
+
+        p = jax.nn.sigmoid(margin)
+        g = (p - y) * w
+        h = jnp.maximum(p * (1.0 - p), 1e-16) * w
+
+        node_of = jnp.zeros((n,), jnp.int32)
+        feat_t = jnp.zeros((max_nodes,), jnp.int32)
+        thr_t = jnp.zeros((max_nodes,), jnp.int32)
+        split_t = jnp.zeros((max_nodes,), bool)
+
+        for depth in range(max_depth):
+            n_nodes = 2**depth
+            node_onehot = jax.nn.one_hot(node_of, n_nodes, dtype=jnp.float32)
+            # MXU histograms: (n_nodes, F * n_bins)
+            Gh = (node_onehot * g[:, None]).T @ onehot
+            Hh = (node_onehot * h[:, None]).T @ onehot
+            Gh = Gh.reshape(n_nodes, F, n_bins)
+            Hh = Hh.reshape(n_nodes, F, n_bins)
+
+            GL = jnp.cumsum(Gh, axis=2)
+            HL = jnp.cumsum(Hh, axis=2)
+            G = GL[:, :, -1:]
+            H = HL[:, :, -1:]
+            GR = G - GL
+            HR = H - HL
+            gain = 0.5 * (
+                GL**2 / (HL + LAMBDA) + GR**2 / (HR + LAMBDA) - G**2 / (H + LAMBDA)
+            ) - gamma
+            feasible = (HL >= mcw) & (HR >= mcw) & (col_mask[None, :, None] > 0)
+            # bin == n_bins-1 puts everything left: never a real split
+            feasible = feasible & (jnp.arange(n_bins)[None, None, :] < n_bins - 1)
+            gain = jnp.where(feasible, gain, -jnp.inf)
+
+            flat = gain.reshape(n_nodes, F * n_bins)
+            best = jnp.argmax(flat, axis=1)
+            best_gain = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+            do_split = best_gain > 0.0
+            bf = (best // n_bins).astype(jnp.int32)
+            bb = (best % n_bins).astype(jnp.int32)
+
+            base = jnp.arange(n_nodes, dtype=jnp.int32) + n_nodes - 1  # heap index of this level
+            # record level splits into per-tree arrays (heap layout, root=0)
+            feat_t = feat_t.at[jnp.where(do_split, base, max_nodes - 1)].set(bf, mode="drop")
+            thr_t = thr_t.at[jnp.where(do_split, base, max_nodes - 1)].set(bb, mode="drop")
+            split_t = split_t.at[base].set(do_split)
+
+            # route rows: node ids within the next level
+            nf = bf[node_of]
+            nb = bb[node_of]
+            row_bin = jnp.take_along_axis(bins, nf[:, None], axis=1)[:, 0]
+            go_right = (row_bin > nb).astype(jnp.int32)
+            splittable = do_split[node_of]
+            node_of = jnp.where(splittable, 2 * node_of + go_right, 2 * node_of)
+            # rows in non-split nodes keep descending the left spine; their
+            # histogram mass is self-consistent and their leaf is reached at
+            # the bottom (classic fixed-shape trick: a dead node never splits
+            # again because its gain is computed over the same rows)
+
+        # leaf values from terminal assignment (up to 2^max_depth leaves)
+        leaf_onehot = jax.nn.one_hot(node_of, max_nodes, dtype=jnp.float32)
+        Gl = leaf_onehot.T @ g
+        Hl = leaf_onehot.T @ h
+        wleaf = -Gl / (Hl + LAMBDA)
+        margin = margin + lr * wleaf[node_of]
+
+        # heap layout bookkeeping: feat/thr/split arrays are heap-indexed via
+        # `base`; reindex them so prediction can walk the same route
+        return margin, (feat_t, thr_t, split_t, wleaf)
+
+    keys = jax.random.split(rng, n_estimators)
+    margin0 = jnp.full((n,), BASE_SCORE, jnp.float32)
+    _, (feats, thrs, splits, leaves) = jax.lax.scan(grow_tree, margin0, keys)
+    return GBTEnsemble(feat=feats, thresh=thrs, is_split=splits, leaf=leaves, lr=lr)
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def predict_margin(ens: GBTEnsemble, bins: jnp.ndarray, max_depth: int) -> jnp.ndarray:
+    n, F = bins.shape
+    max_nodes = ens.leaf.shape[1]
+
+    def one_tree(carry, tree):
+        margin = carry
+        feat_t, thr_t, split_t, wleaf = tree
+        node_of = jnp.zeros((n,), jnp.int32)
+        for depth in range(max_depth):
+            n_nodes = 2**depth
+            base = node_of + n_nodes - 1
+            nf = feat_t[base]
+            nb = thr_t[base]
+            do = split_t[base]
+            row_bin = jnp.take_along_axis(bins, nf[:, None], axis=1)[:, 0]
+            go_right = (row_bin > nb).astype(jnp.int32)
+            node_of = jnp.where(do, 2 * node_of + go_right, 2 * node_of)
+        margin = margin + ens.lr * wleaf[node_of]
+        return margin, None
+
+    margin0 = jnp.full((n,), BASE_SCORE, jnp.float32)
+    margin, _ = jax.lax.scan(one_tree, margin0, (ens.feat, ens.thresh, ens.is_split, ens.leaf))
+    return margin
+
+
+class GBTClassifier:
+    """sklearn/xgboost-style wrapper over the jitted kernels."""
+
+    def __init__(
+        self,
+        max_depth: int = 6,
+        learning_rate: float = 0.3,
+        n_estimators: int = 100,
+        gamma: float = 0.0,
+        min_child_weight: float = 1.0,
+        subsample: float = 1.0,
+        colsample_bytree: float = 1.0,
+        random_state: int = 0,
+        n_bins: int = N_BINS,
+        **_ignored,
+    ):
+        self.params = dict(
+            max_depth=int(max_depth),
+            learning_rate=float(learning_rate),
+            n_estimators=int(n_estimators),
+            gamma=float(gamma),
+            min_child_weight=float(min_child_weight),
+            subsample=float(subsample),
+            colsample_bytree=float(colsample_bytree),
+        )
+        self.random_state = int(random_state)
+        self.n_bins = n_bins
+        self._ens = None
+        self._edges = None
+
+    def fit(self, X: np.ndarray, y: np.ndarray, sample_weight: Optional[np.ndarray] = None):
+        X = np.asarray(X, np.float32)
+        y = np.asarray(y, np.float32)
+        self._edges = compute_bin_edges(X, self.n_bins)
+        bins = jnp.asarray(bin_data(X, self._edges))
+        w = jnp.asarray(
+            np.ones(len(y), np.float32) if sample_weight is None else np.asarray(sample_weight, np.float32)
+        )
+        p = self.params
+        self._ens = fit_gbt(
+            bins,
+            jnp.asarray(y),
+            w,
+            jax.random.PRNGKey(self.random_state),
+            max_depth=p["max_depth"],
+            n_estimators=p["n_estimators"],
+            learning_rate=p["learning_rate"],
+            gamma=p["gamma"],
+            min_child_weight=p["min_child_weight"],
+            subsample=p["subsample"],
+            colsample_bytree=p["colsample_bytree"],
+            n_bins=self.n_bins,
+        )
+        return self
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        bins = jnp.asarray(bin_data(np.asarray(X, np.float32), self._edges))
+        m = np.asarray(predict_margin(self._ens, bins, self.params["max_depth"]))
+        p1 = 1.0 / (1.0 + np.exp(-m))
+        return np.stack([1 - p1, p1], axis=1)
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return (self.predict_proba(X)[:, 1] >= 0.5).astype(int)
+
+    def get_params(self, deep=True):
+        return {**self.params, "random_state": self.random_state}
+
+    def set_params(self, **kw):
+        for k, v in kw.items():
+            if k == "random_state":
+                self.random_state = int(v)
+            elif k in self.params:
+                self.params[k] = v
+        return self

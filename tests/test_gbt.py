@@ -1,0 +1,70 @@
+"""JAX histogram GBDT: accuracy vs sklearn's gradient boosting and basic
+hyperparameter behaviours."""
+
+import numpy as np
+import pytest
+from sklearn.datasets import make_classification
+from sklearn.ensemble import HistGradientBoostingClassifier
+from sklearn.metrics import roc_auc_score
+from sklearn.model_selection import train_test_split
+
+from ae_waveforms_tpu.classify.gbt import GBTClassifier
+
+
+def _task(n=3000, f=10, seed=0, sep=0.8):
+    X, y = make_classification(
+        n_samples=n, n_features=f, n_informative=6, n_redundant=2, class_sep=sep, random_state=seed
+    )
+    return train_test_split(X.astype(np.float32), y, test_size=0.3, random_state=seed, stratify=y)
+
+
+def test_auc_competitive_with_sklearn():
+    Xtr, Xte, ytr, yte = _task()
+    ours = GBTClassifier(max_depth=4, n_estimators=150, learning_rate=0.1, random_state=0)
+    ours.fit(Xtr, ytr)
+    auc_ours = roc_auc_score(yte, ours.predict_proba(Xte)[:, 1])
+
+    ref = HistGradientBoostingClassifier(max_depth=4, max_iter=150, learning_rate=0.1, random_state=0)
+    ref.fit(Xtr, ytr)
+    auc_ref = roc_auc_score(yte, ref.predict_proba(Xte)[:, 1])
+
+    assert auc_ours > 0.9
+    assert auc_ours > auc_ref - 0.02, (auc_ours, auc_ref)
+
+
+def test_overfits_train_with_depth():
+    Xtr, Xte, ytr, yte = _task(n=800)
+    m = GBTClassifier(max_depth=6, n_estimators=200, learning_rate=0.3, random_state=1)
+    m.fit(Xtr, ytr)
+    train_auc = roc_auc_score(ytr, m.predict_proba(Xtr)[:, 1])
+    assert train_auc > 0.995
+
+
+def test_gamma_regularises():
+    Xtr, Xte, ytr, yte = _task(n=1200, sep=0.5)
+    deep = GBTClassifier(max_depth=6, n_estimators=50, learning_rate=0.3, gamma=0.0, random_state=2)
+    reg = GBTClassifier(max_depth=6, n_estimators=50, learning_rate=0.3, gamma=10.0, random_state=2)
+    deep.fit(Xtr, ytr)
+    reg.fit(Xtr, ytr)
+    # a large gamma must prune splits -> fewer split nodes
+    assert int(np.asarray(reg._ens.is_split).sum()) < int(np.asarray(deep._ens.is_split).sum())
+
+
+def test_subsample_and_colsample_run():
+    Xtr, Xte, ytr, yte = _task(n=1000)
+    m = GBTClassifier(
+        max_depth=3, n_estimators=80, learning_rate=0.2, subsample=0.7, colsample_bytree=0.6, random_state=3
+    )
+    m.fit(Xtr, ytr)
+    auc = roc_auc_score(yte, m.predict_proba(Xte)[:, 1])
+    assert auc > 0.85
+
+
+def test_sample_weight_mask_restricts_training():
+    """A weight mask selecting one class only must yield a degenerate model."""
+    Xtr, Xte, ytr, yte = _task(n=1000)
+    w = (ytr == 1).astype(np.float32)
+    m = GBTClassifier(max_depth=3, n_estimators=20, random_state=4)
+    m.fit(Xtr, ytr, sample_weight=w)
+    p = m.predict_proba(Xte)[:, 1]
+    assert p.min() > 0.5  # only positive examples seen
