@@ -1,0 +1,200 @@
+"""End-to-end deep classifier harness (capability twin of
+main_dl_classify.py).
+
+Raw median beats (first 12000 per class), fixed 250+250 test tail, and for
+each training size x 25 seeds: an 80/20 stratified split, the LSTM
+classifier trained with Adam(1e-4), MultiStep LR decay (x0.5 at epochs 50
+and 100), BCE loss, batch 512, up to 153 epochs with AUC-based early
+stopping (patience 50, min_delta 5e-4); the best-AUC weights are restored
+and scored on the fixed test set.
+
+TPU-first: one jitted program per *epoch* (lax.scan over batches) with the
+BatchNorm state threaded through; the val forward pass is a second jitted
+program; only the AUC computation runs on host.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from sklearn.metrics import roc_auc_score
+from sklearn.model_selection import train_test_split
+
+from ae_waveforms_tpu.models import lstm_classifier
+
+__all__ = ["train_classifier", "dl_size_seed_sweep", "DL_SIZES"]
+
+DL_SIZES = [100, 250, 500, 750, 1000, 2000, 3000, 4000, 6000, 10000, 11500]
+NUM_EPOCHS = 153
+
+
+def _multistep_lr(epoch: int, base: float = 1e-4) -> float:
+    return base * (0.5 ** ((epoch >= 50) + (epoch >= 100)))
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("n_steps",))
+def _train_epoch(params, state, opt_m, opt_v, opt_t, rng, x, y, idx, mask, lr, n_steps):
+    """One epoch: scan over batches with plain Adam (torch defaults)."""
+
+    def step(carry, inp):
+        params, state, m, v, t, rng = carry
+        bidx, bmask = inp
+        rng, k = jax.random.split(rng)
+        bx = jnp.take(x, bidx, axis=0)
+        by = jnp.take(y, bidx, axis=0)
+        w = bmask.astype(jnp.float32)
+
+        def loss_fn(p):
+            probs, new_state = lstm_classifier.forward(p, state, bx, train=True, rng=k)
+            probs = jnp.clip(probs[:, 0], 1e-7, 1 - 1e-7)
+            bce = -(by * jnp.log(probs) + (1 - by) * jnp.log(1 - probs))
+            return jnp.sum(bce * w) / jnp.maximum(jnp.sum(w), 1.0), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        t = t + 1
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        m = jax.tree_util.tree_map(lambda mm, g: b1 * mm + (1 - b1) * g, m, grads)
+        v = jax.tree_util.tree_map(lambda vv, g: b2 * vv + (1 - b2) * g * g, v, grads)
+        bc1 = 1 - b1**t
+        bc2 = 1 - b2**t
+        params = jax.tree_util.tree_map(
+            lambda p, mm, vv: p - lr * (mm / bc1) / (jnp.sqrt(vv / bc2) + eps), params, m, v
+        )
+        return (params, new_state, m, v, t, rng), loss
+
+    (params, state, opt_m, opt_v, opt_t, rng), losses = jax.lax.scan(
+        step, (params, state, opt_m, opt_v, opt_t, rng), (idx, mask)
+    )
+    return params, state, opt_m, opt_v, opt_t, rng, losses
+
+
+@jax.jit
+def _predict(params, state, x):
+    probs, _ = lstm_classifier.forward(params, state, x, train=False)
+    return probs[:, 0]
+
+
+def train_classifier(
+    X_train: np.ndarray,
+    y_train: np.ndarray,
+    X_val: np.ndarray,
+    y_val: np.ndarray,
+    seed: int,
+    num_epochs: int = NUM_EPOCHS,
+    batch_size: int = 512,
+    patience: int = 50,
+    min_delta: float = 5e-4,
+) -> Tuple[Dict, Dict]:
+    """Returns the best (params, state) by validation AUC."""
+    rng = jax.random.PRNGKey(seed)
+    rng, k_init = jax.random.split(rng)
+    params, state = lstm_classifier.init(k_init)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    opt_m, opt_v, opt_t = zeros, jax.tree_util.tree_map(jnp.zeros_like, params), jnp.zeros((), jnp.float32)
+
+    x = jnp.asarray(X_train, jnp.float32)
+    y = jnp.asarray(y_train, jnp.float32)
+    xv = jnp.asarray(X_val, jnp.float32)
+    n = len(y_train)
+    steps = math.ceil(n / batch_size)
+    np_rng = np.random.default_rng(seed)
+
+    best_auc, best = 0.0, None
+    no_improve = 0
+    for epoch in range(num_epochs):
+        perm = np_rng.permutation(n).astype(np.int32)
+        padded = np.zeros(steps * batch_size, np.int32)
+        padded[:n] = perm
+        mask = np.zeros(steps * batch_size, bool)
+        mask[:n] = True
+        lr = jnp.asarray(_multistep_lr(epoch), jnp.float32)
+        params, state, opt_m, opt_v, opt_t, rng, _ = _train_epoch(
+            params, state, opt_m, opt_v, opt_t, rng, x, y,
+            jnp.asarray(padded.reshape(steps, batch_size)),
+            jnp.asarray(mask.reshape(steps, batch_size)), lr, steps,
+        )
+        val_auc = roc_auc_score(y_val, np.asarray(_predict(params, state, xv)))
+        if val_auc - best_auc > min_delta:
+            best_auc = val_auc
+            best = (jax.tree_util.tree_map(np.asarray, params), jax.tree_util.tree_map(np.asarray, state))
+            no_improve = 0
+        else:
+            no_improve += 1
+        if no_improve >= patience:
+            break
+    if best is None:
+        best = (jax.tree_util.tree_map(np.asarray, params), jax.tree_util.tree_map(np.asarray, state))
+    return best
+
+
+def dl_size_seed_sweep(
+    control_waves: np.ndarray,
+    sick_waves: np.ndarray,
+    sizes=tuple(DL_SIZES),
+    n_seeds: int = 25,
+    num_epochs: int = NUM_EPOCHS,
+    out_dir: Optional[str] = None,
+    save_models: bool = False,
+    test_size: int = 250,
+) -> List[Dict]:
+    """The full size x seed harness on raw beats; returns summary records."""
+    control = np.asarray(control_waves)[:, :, None].astype(np.float32)
+    sick = np.asarray(sick_waves)[:, :, None].astype(np.float32)
+    ts = min(test_size, len(control) - 1, len(sick) - 1)
+    X_test = np.concatenate([control[-ts:], sick[-ts:]], axis=0)
+    y_test = np.concatenate([np.zeros(ts), np.ones(ts)])
+    control_train, sick_train = control[:-ts], sick[:-ts]
+
+    summary = []
+    for size in sizes:
+        size = min(size, len(control_train), len(sick_train))
+        aucs = []
+        for seed in range(n_seeds):
+            rng = np.random.default_rng(seed + 42)
+            idx_c = rng.choice(len(control_train), size, replace=False)
+            idx_s = rng.choice(len(sick_train), size, replace=False)
+            X = np.concatenate([control_train[idx_c], sick_train[idx_s]], axis=0)
+            yv = np.concatenate([np.zeros(size), np.ones(size)])
+            Xtr, Xva, ytr, yva = train_test_split(X, yv, test_size=0.2, stratify=yv, random_state=seed)
+            params, state = train_classifier(Xtr, ytr, Xva, yva, seed, num_epochs=num_epochs)
+            preds = np.asarray(_predict(params, state, jnp.asarray(X_test)))
+            aucs.append(roc_auc_score(y_test, preds))
+            if save_models and out_dir:
+                from ae_waveforms_tpu.train.checkpoint import save_state
+
+                os.makedirs(os.path.join(out_dir, f"size_{size}"), exist_ok=True)
+                save_state(os.path.join(out_dir, f"size_{size}", f"model_seed_{seed}.npz"),
+                           {"params": params, "state": state})
+        rec = {
+            "size": size,
+            "median_auc": float(np.median(aucs)),
+            "q1": float(np.percentile(aucs, 25)),
+            "q3": float(np.percentile(aucs, 75)),
+            "aucs": aucs,
+        }
+        summary.append(rec)
+        print(f"Size: {size}, Median AUC: {rec['median_auc']:.4f}, IQR: ({rec['q1']:.4f}, {rec['q3']:.4f})")
+        if out_dir:
+            import csv
+
+            os.makedirs(os.path.join(out_dir, f"size_{size}"), exist_ok=True)
+            with open(os.path.join(out_dir, f"size_{size}", f"aucs_size_{size}.csv"), "w", newline="") as f:
+                wr = csv.writer(f)
+                wr.writerow(["seed", "auc"])
+                for s, a in enumerate(aucs):
+                    wr.writerow([s, a])
+    if out_dir:
+        import csv
+
+        with open(os.path.join(out_dir, "summary_auc_stats.csv"), "w", newline="") as f:
+            wr = csv.writer(f)
+            wr.writerow(["size", "median_auc", "q1", "q3"])
+            for r in summary:
+                wr.writerow([r["size"], r["median_auc"], r["q1"], r["q3"]])
+    return summary

@@ -1,0 +1,232 @@
+"""Classifier evaluation harness (capability twin of main_ae_classify.py,
+main_ml_classify.py and analysis_PPV_hypokalaemia.py).
+
+Shared procedure, replicated exactly:
+
+- cap each class at 6500 samples; the fixed test set is the last
+  min(250, ...) rows of each class (main_ae_classify.py:43-49);
+- hyperparameter selection: an LHS candidate list scored by K-fold
+  cross-validated ROC-AUC on up to 6000 rows per class
+  (main_ae_classify.py:57-77);
+- evaluation: for each training size and 25 seeds, subsample
+  ``rng(seed + 42).choice`` rows per class, fit with random_state
+  ``seed + 42``, score AUC on the fixed test set; report median and IQR
+  (main_ae_classify.py:82-115);
+- PPV variant: size 6000 only, adding precision at threshold 0.5
+  (analysis_PPV_hypokalaemia.py:78-110);
+- handcrafted-feature variant: column 5 (T Duration) deleted from the
+  10-feature matrix before fitting (main_ml_classify.py:110).
+
+The model is the JAX GBDT; its traced hyperparameters mean the whole LHS
+sweep reuses a handful of compilations keyed only on (max_depth,
+n_estimators).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from sklearn.metrics import precision_score, roc_auc_score
+
+from ae_waveforms_tpu.classify.gbt import GBTClassifier
+from ae_waveforms_tpu.classify.lhs import lhs_param_dicts
+
+__all__ = [
+    "prepare_class_data",
+    "grid_search_cv",
+    "size_seed_sweep",
+    "ppv_analysis",
+    "DEFAULT_SIZES",
+]
+
+DEFAULT_SIZES = [100, 250, 500, 750, 1000, 1500, 2000, 2500, 3000, 4000, 6000]
+
+
+@dataclass
+class ClassData:
+    control_train: np.ndarray
+    sick_train: np.ndarray
+    X_test: np.ndarray
+    y_test: np.ndarray
+
+
+def prepare_class_data(
+    control_features: np.ndarray,
+    sick_features: np.ndarray,
+    cap: int = 6500,
+    test_size: int = 250,
+) -> ClassData:
+    control = np.asarray(control_features)[:cap]
+    sick = np.asarray(sick_features)[:cap]
+    ts = min(test_size, len(control) - 1, len(sick) - 1)
+    X_test = np.concatenate([control[-ts:], sick[-ts:]], axis=0)
+    y_test = np.concatenate([np.zeros(ts), np.ones(ts)])
+    return ClassData(control[:-ts], sick[:-ts], X_test, y_test)
+
+
+def select_by_ids(info_ids: np.ndarray, features: np.ndarray, wanted_ids: np.ndarray) -> np.ndarray:
+    """Row-select features whose case id appears in the wanted list
+    (main_ae_classify.py:40-44)."""
+    idx = np.nonzero(np.isin(info_ids, wanted_ids))[0]
+    return np.asarray(features)[idx]
+
+
+def grid_search_cv(
+    X: np.ndarray,
+    y: np.ndarray,
+    n_candidates: int = 1000,
+    cv: int = 3,
+    random_state: int = 1,
+    verbose: bool = False,
+) -> Dict:
+    """LHS candidates scored by K-fold ROC-AUC; returns the best param dict.
+
+    Own implementation (the reference uses sklearn GridSearchCV over
+    single-point grids with joblib fan-out; here fits are jit-cached device
+    calls, so a simple host loop suffices)."""
+    params = lhs_param_dicts(n_candidates, random_state=random_state)
+    rng = np.random.default_rng(random_state)
+    n = len(y)
+    order = rng.permutation(n)
+    folds = np.array_split(order, cv)
+
+    best_score, best_params = -np.inf, None
+    for i, p in enumerate(params):
+        scores = []
+        for f in range(cv):
+            te = folds[f]
+            tr = np.concatenate([folds[g] for g in range(cv) if g != f])
+            m = GBTClassifier(**p, random_state=random_state)
+            m.fit(X[tr], y[tr])
+            scores.append(roc_auc_score(y[te], m.predict_proba(X[te])[:, 1]))
+        s = float(np.mean(scores))
+        if s > best_score:
+            best_score, best_params = s, p
+        if verbose and (i + 1) % 50 == 0:
+            print(f"grid search {i + 1}/{len(params)}: best AUC {best_score:.4f}")
+    return {"best_params": best_params, "best_score": best_score}
+
+
+def _fit_eval(data: ClassData, size: int, seed: int, best_params: Dict, drop_col: Optional[int]):
+    rng = np.random.default_rng(seed + 42)
+    idx_c = rng.choice(len(data.control_train), size, replace=False)
+    idx_s = rng.choice(len(data.sick_train), size, replace=False)
+    X_train = np.concatenate([data.control_train[idx_c], data.sick_train[idx_s]], axis=0)
+    y_train = np.concatenate([np.zeros(size), np.ones(size)])
+    X_test = data.X_test
+    if drop_col is not None:
+        X_train = np.delete(X_train, drop_col, axis=1)
+        X_test = np.delete(X_test, drop_col, axis=1)
+    m = GBTClassifier(**best_params, random_state=seed + 42)
+    m.fit(X_train, y_train)
+    return m.predict_proba(X_test)[:, 1]
+
+
+def size_seed_sweep(
+    data: ClassData,
+    best_params: Dict,
+    sizes: Sequence[int] = tuple(DEFAULT_SIZES),
+    n_seeds: int = 25,
+    drop_col: Optional[int] = None,
+    out_dir: Optional[str] = None,
+    file_stem: str = "",
+) -> Tuple[List[Dict], List[Dict]]:
+    """AUC-vs-training-size evaluation; writes individual_aucs.csv and
+    summary_auc_by_size.csv plus the AUC-vs-size plot when out_dir given."""
+    auc_records, summary_records = [], []
+    for size in sizes:
+        size = min(size, len(data.control_train), len(data.sick_train))
+        aucs = []
+        for seed in range(n_seeds):
+            proba = _fit_eval(data, size, seed, best_params, drop_col)
+            auc = roc_auc_score(data.y_test, proba)
+            aucs.append(auc)
+            auc_records.append({"size": size, "seed": seed, "auc": auc})
+        summary_records.append(
+            {
+                "size": size,
+                "median_auc": float(np.median(aucs)),
+                "q1_auc": float(np.percentile(aucs, 25)),
+                "q3_auc": float(np.percentile(aucs, 75)),
+            }
+        )
+        print(
+            f"Size: {size}, Median AUC: {summary_records[-1]['median_auc']:.4f}, "
+            f"IQR: ({summary_records[-1]['q1_auc']:.4f}, {summary_records[-1]['q3_auc']:.4f})"
+        )
+
+    if out_dir is not None:
+        import pandas as pd
+
+        os.makedirs(out_dir, exist_ok=True)
+        prefix = f"{file_stem}_" if file_stem else ""
+        pd.DataFrame(auc_records).to_csv(os.path.join(out_dir, f"{prefix}individual_aucs.csv"), index=False)
+        pd.DataFrame(summary_records).to_csv(
+            os.path.join(out_dir, f"{prefix}summary_auc_by_size.csv"), index=False
+        )
+        _plot_auc_vs_size(summary_records, os.path.join(out_dir, f"{prefix}auc_vs_data_size.png"))
+    return auc_records, summary_records
+
+
+def ppv_analysis(
+    data: ClassData,
+    best_params: Dict,
+    size: int = 6000,
+    n_seeds: int = 25,
+    threshold: float = 0.5,
+) -> Dict:
+    """Median/IQR AUC and PPV at the given threshold for one training size —
+    the north-star hypokalaemia PPV metric (analysis_PPV_hypokalaemia.py)."""
+    size = min(size, len(data.control_train), len(data.sick_train))
+    aucs, ppvs = [], []
+    for seed in range(n_seeds):
+        proba = _fit_eval(data, size, seed, best_params, None)
+        aucs.append(roc_auc_score(data.y_test, proba))
+        ppvs.append(precision_score(data.y_test, (proba >= threshold).astype(int)))
+    result = {
+        "size": size,
+        "median_auc": float(np.median(aucs)),
+        "q1_auc": float(np.percentile(aucs, 25)),
+        "q3_auc": float(np.percentile(aucs, 75)),
+        "median_ppv": float(np.median(ppvs)),
+        "q1_ppv": float(np.percentile(ppvs, 25)),
+        "q3_ppv": float(np.percentile(ppvs, 75)),
+        "aucs": aucs,
+        "ppvs": ppvs,
+    }
+    print(f"Size: {size}")
+    print(f"Median AUC: {result['median_auc']:.4f}, IQR: ({result['q1_auc']:.4f}, {result['q3_auc']:.4f})")
+    print(
+        f"Median PPV @ threshold {threshold}: {result['median_ppv']:.4f}, "
+        f"IQR: ({result['q1_ppv']:.4f}, {result['q3_ppv']:.4f})"
+    )
+    return result
+
+
+def _plot_auc_vs_size(summary: List[Dict], out_path: str) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    sizes = np.array([r["size"] for r in summary])
+    med = np.array([r["median_auc"] for r in summary])
+    q1 = np.array([r["q1_auc"] for r in summary])
+    q3 = np.array([r["q3_auc"] for r in summary])
+    plt.figure(figsize=(8, 6))
+    plt.plot(sizes, med, "-o", label="Median AUC")
+    plt.fill_between(sizes, q1, q3, alpha=0.2, label="IQR (25th-75th percentile)")
+    ref = med[-1]
+    for frac, color in [(1.0, "black"), (0.975, "gray"), (0.95, "lightgray")]:
+        plt.axhline(frac * ref, color=color, linestyle="--", linewidth=1.5, label=f"{frac:.1%} of Max AUC")
+    plt.xlabel("Number of Patients per Class")
+    plt.ylabel("ROC AUC on Fixed Test Set")
+    plt.grid(True)
+    plt.xticks(sizes, rotation=45)
+    plt.legend(loc="lower right")
+    plt.tight_layout()
+    plt.savefig(out_path, dpi=300)
+    plt.close()
