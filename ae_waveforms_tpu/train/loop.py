@@ -159,8 +159,17 @@ def main_train(
     arrays: Optional[ArraySet] = None,
     mesh=None,
     max_steps: Optional[int] = None,
+    resume_dir: Optional[str] = None,
+    profile_dir: Optional[str] = None,
 ) -> str:
-    """Train an autoencoder; returns the results directory."""
+    """Train an autoencoder; returns the results directory.
+
+    ``resume_dir``: a previous run's results dir — the full train state
+    (params + optimizer + PRNG + step) is restored from its best resumable
+    checkpoint and training continues (a capability the reference lacks:
+    its checkpoints hold model weights only, SURVEY §5.4).
+    ``profile_dir``: wraps the first training chunk in a jax.profiler trace.
+    """
     t_start = time.time()
     np.random.seed(cfg.seed)
 
@@ -215,6 +224,14 @@ def main_train(
     )
     opt_state = optimizer.init(params)
 
+    resume_step = 0
+    if resume_dir is not None:
+        template = {"params": params, "opt_state": opt_state, "rng": rng, "step": jnp.zeros((), jnp.int32)}
+        restored = ckpt.load_state(ckpt.latest_resumable(resume_dir), template)
+        params, opt_state, rng = restored["params"], restored["opt_state"], restored["rng"]
+        resume_step = int(restored["step"])
+        logger.info(f"Resumed full train state from {resume_dir} at step {resume_step}")
+
     steps_per_epoch = math.ceil(n_train / cfg.batch_size)
     schedule, is_steplr = _lr_schedule(cfg, steps_per_epoch)
     run_chunk = make_train_chunk(mdef, optimizer, cfg.loss, schedule, mesh, cfg.dropout)
@@ -228,7 +245,7 @@ def main_train(
     best_path = None
     lr_valid_counter = 0
     lr_events = 0
-    global_step = 0
+    global_step = resume_step
 
     logger.info(f"Start training with learning rate scheduler: {cfg.lr_scheduler_type}")
     V = cfg.validation_interval
@@ -244,11 +261,15 @@ def main_train(
             n_steps = 1 if local == 0 else min(V, steps_per_epoch - local)
             sl = slice(local, local + n_steps)
             lr_scale = jnp.asarray(0.5**lr_events if is_steplr else 1.0, jnp.float32)
-            params, opt_state, rng, losses, lrs = run_chunk(
-                params, opt_state, rng,
-                train_x, jnp.asarray(idx_all[sl]), jnp.asarray(mask_all[sl]),
-                jnp.asarray(global_step, jnp.int32), lr_scale, n_steps,
-            )
+            from ae_waveforms_tpu.train.profiling import trace
+
+            first_chunk = epoch == 1 and local == 0
+            with trace(profile_dir if first_chunk else None):
+                params, opt_state, rng, losses, lrs = run_chunk(
+                    params, opt_state, rng,
+                    train_x, jnp.asarray(idx_all[sl]), jnp.asarray(mask_all[sl]),
+                    jnp.asarray(global_step, jnp.int32), lr_scale, n_steps,
+                )
             losses = np.asarray(losses)
             lrs = np.asarray(lrs)
             for j in range(n_steps):
