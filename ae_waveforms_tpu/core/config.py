@@ -41,6 +41,9 @@ class ExtractionConfig:
 
     # TPU-native knobs (no reference counterpart)
     precision: str = "float32"  # "float32" | "float64" (parity-check mode)
+    # "host": float64 per-sample delineation (parity oracle path);
+    # "device": batched float32 JAX delineation (fast path, ~99.7% index-exact)
+    delineation_engine: str = "host"
     max_peaks_per_sample: int = 96  # fixed-shape padded peak buffer (20s @ 180bpm -> 60)
     max_qrs_segments: int = 256  # fixed-shape QRS-candidate buffer
 

@@ -132,8 +132,18 @@ def extract_case(
     samples, peaks, n_peaks, indices = samples[keep], peaks[keep], n_peaks[keep], indices[keep]
     medians = np.asarray(median_beat_batch(samples.astype(np.float32), peaks, n_peaks))
 
-    peak_lists = [list(map(int, p[:k])) for p, k in zip(peaks, n_peaks)]
-    rows, valid = _feature_rows(samples, peak_lists, cfg)
+    if cfg.delineation_engine == "device" and len(samples):
+        from ae_waveforms_tpu.signals.delineate_jax import delineate_batch
+        from ae_waveforms_tpu.signals.features_jax import feature_rows_batch
+
+        fiducials = delineate_batch(samples.astype(np.float32), peaks, n_peaks, cfg.sampling_frequency)
+        rows = np.asarray(
+            feature_rows_batch(samples.astype(np.float32), peaks, n_peaks, fiducials, cfg.sampling_frequency)
+        )
+        valid = np.asarray(n_peaks) > 0
+    else:
+        peak_lists = [list(map(int, p[:k])) for p, k in zip(peaks, n_peaks)]
+        rows, valid = _feature_rows(samples, peak_lists, cfg)
 
     result = CaseResult(
         case_id=case_id,

@@ -1,0 +1,305 @@
+"""Batched DWT delineation on device — the vmapped twin of
+``signals.delineate`` (same algorithm, fixed shapes, masked searches).
+
+Everything the host version does per beat with python loops becomes a
+masked reduction over a fixed search window:
+
+- "last/first slope peak"            -> masked max/min of local-max indices
+- "first zero crossing after p"      -> reverse-cummin next-crossing index
+- "next retained modulus maximum"    -> reverse-cummin next-peak index
+- "last/first threshold candidate"   -> masked max/min index
+
+The per-window cost is O(K beats x W window) VPU work; the whole batch of
+20-s windows delineates in one device call.  Equality with the host
+implementation (exact integer fiducial indices / NaNs) is enforced by
+tests/test_delineate_jax.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["delineate_batch", "ANALYSIS_RATE", "W"]
+
+ANALYSIS_RATE = 2000
+W = 1280  # fixed search-window length (>= the longest 0.6 s onset window)
+BIG = 10**9
+
+
+def _resample4(x: jnp.ndarray) -> jnp.ndarray:
+    """Linear resample by exactly 4x (500 Hz -> 2000 Hz), matching
+    np.interp over endpoint=False grids."""
+    n_in = x.shape[0]
+    n_out = 4 * n_in
+    idx_f = jnp.arange(n_out) * 0.25
+    lo = jnp.floor(idx_f).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n_in - 1)
+    w = (idx_f - lo).astype(x.dtype)
+    return x[lo] * (1 - w) + x[hi] * w
+
+
+def _dwt_scales(x: jnp.ndarray, max_degree: int = 9) -> jnp.ndarray:
+    """(max_degree, T) detail signals of the a-trous quadratic-spline bank."""
+    details = []
+    approx = x
+    T = x.shape[0]
+    for deg in range(max_degree):
+        gap = np.zeros(2**deg - 1)
+        delay = 2**deg
+        g_taps = jnp.asarray(np.r_[2.0, gap, -2.0], x.dtype)
+        h_taps = jnp.asarray(np.r_[1 / 8, gap, 3 / 8, gap, 3 / 8, gap, 1 / 8], x.dtype)
+        detail = jnp.convolve(approx, g_taps, mode="full")[delay : delay + T]
+        smooth = jnp.convolve(approx, h_taps, mode="full")[delay : delay + T]
+        details.append(detail)
+        approx = smooth
+    return jnp.stack(details)
+
+
+def _window(sig: jnp.ndarray, start: jnp.ndarray, length: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-W gather of sig[start : start+length] with validity mask."""
+    T = sig.shape[0]
+    k = jnp.arange(W)
+    idx = start + k
+    valid = (k < length) & (idx >= 0) & (idx < T)
+    vals = sig[jnp.clip(idx, 0, T - 1)]
+    return jnp.where(valid, vals, 0.0), valid
+
+
+def _local_max_mask(d: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """scipy find_peaks: strictly greater than both neighbours, interior of
+    the *valid* region only."""
+    up = jnp.zeros_like(valid)
+    up = up.at[1:-1].set((d[1:-1] > d[:-2]) & (d[1:-1] > d[2:]))
+    interior = valid & jnp.roll(valid, 1) & jnp.roll(valid, -1)
+    interior = interior.at[0].set(False)
+    interior = interior.at[-1].set(False)
+    return up & interior
+
+
+def _next_index(mask: jnp.ndarray) -> jnp.ndarray:
+    """nxt[k] = smallest index >= k with mask, else BIG (reverse cummin)."""
+    idx = jnp.where(mask, jnp.arange(W), BIG)
+    return jax.lax.associative_scan(jnp.minimum, idx, reverse=True)
+
+
+def _masked_last(mask: jnp.ndarray) -> jnp.ndarray:
+    """largest index with mask, else -BIG."""
+    return jnp.max(jnp.where(mask, jnp.arange(W), -BIG))
+
+
+def _masked_first(mask: jnp.ndarray) -> jnp.ndarray:
+    return jnp.min(jnp.where(mask, jnp.arange(W), BIG))
+
+
+def _tp_peak_one(ecg, dwt_row, start, length, eps_weight, expected_latency, symmetric, fs):
+    """One beat's T- or P-peak search; returns float index into the analysis
+    signal or NaN."""
+    d, valid = _window(dwt_row, start, length)
+    e, _ = _window(ecg, start, length)
+    n = jnp.sum(valid)
+    ok = n > 0
+
+    rms = jnp.sqrt(jnp.sum(jnp.where(valid, d * d, 0.0)) / jnp.maximum(n, 1))
+    height = eps_weight * rms
+    absd = jnp.abs(d)
+    peaks = _local_max_mask(absd, valid) & (absd > height)
+    dmax = jnp.max(jnp.where(valid, d, -jnp.inf))
+    peaks = peaks & (absd > 0.025 * dmax)
+    # prepended virtual peak at 0 when the window opens positive
+    peaks = peaks.at[0].set(peaks[0] | (valid[0] & (d[0] > 0)))
+
+    nxt_peak = _next_index(peaks)
+    # sign-change positions (np.sign diff != 0 at k means crossing between k, k+1)
+    s = jnp.sign(d)
+    cross = jnp.zeros((W,), bool).at[:-1].set((s[1:] - s[:-1]) != 0)
+    cross = cross & valid & jnp.roll(valid, -1)
+    nxt_cross = _next_index(cross)
+
+    k = jnp.arange(W)
+    partner = jnp.where(k + 1 < W, nxt_peak[jnp.minimum(k + 1, W - 1)], BIG)
+    cand = peaks & (partner < BIG) & (d > 0)
+    cand = cand & (jnp.where(partner < W, d[jnp.clip(partner, 0, W - 1)], 0.0) < 0)
+    idx_zero = nxt_cross  # first crossing at/after the positive peak
+    cand = cand & (idx_zero <= partner) & (idx_zero < W)
+    iz = jnp.clip(idx_zero, 0, W - 1)
+    latency = iz.astype(d.dtype) / fs - expected_latency
+    penalty = jnp.abs(latency) if symmetric else latency
+    score = e[iz] - penalty
+    score = jnp.where(cand, score, -jnp.inf)
+    best = jnp.argmax(score)
+    found = ok & jnp.any(cand)
+    return jnp.where(found, (idx_zero[best] + start).astype(jnp.float32), jnp.nan)
+
+
+def _onset_one(dwt_row, pk, dur, weight, negate):
+    """Last sub-threshold point before the last slope peak in [pk-dur, pk)."""
+    start = jnp.maximum(pk - dur, 0)
+    length = pk - start
+    d, valid = _window(dwt_row, start, length)
+    d = -d if negate else d
+    sp = _local_max_mask(d, valid)
+    last_sp = _masked_last(sp)
+    has_sp = last_sp >= 0
+    eps = weight * d[jnp.clip(last_sp, 0, W - 1)]
+    k = jnp.arange(W)
+    cands = valid & (k < last_sp) & (d < eps)
+    last_c = _masked_last(cands)
+    found = has_sp & (last_c >= 0)
+    return jnp.where(found, (last_c + start).astype(jnp.float32), jnp.nan)
+
+
+def _offset_one(dwt_row, pk, dur, weight, negate):
+    """First sub-threshold point after the first slope peak in [pk, pk+dur)."""
+    d, valid = _window(dwt_row, pk, dur)
+    d = -d if negate else d
+    sp = _local_max_mask(d, valid)
+    first_sp = _masked_first(sp)
+    has_sp = first_sp < BIG
+    eps = weight * d[jnp.clip(first_sp, 0, W - 1)]
+    k = jnp.arange(W)
+    cands = valid & (k >= first_sp) & (d < eps)
+    first_c = _masked_first(cands)
+    found = has_sp & (first_c < BIG)
+    return jnp.where(found, (first_c + pk).astype(jnp.float32), jnp.nan)
+
+
+def _bounded_onset(dwt_row, lo, hi, weight):
+    """QRS-onset pattern over the data-dependent window [lo, hi): negated
+    slope peaks, LAST one, eps = weight * value, last candidate before it."""
+    length = hi - lo
+    d, valid = _window(dwt_row, lo, length)
+    d = -d
+    sp = _local_max_mask(d, valid)
+    last_sp = _masked_last(sp)
+    has_sp = last_sp >= 0
+    eps = weight * d[jnp.clip(last_sp, 0, W - 1)]
+    k = jnp.arange(W)
+    cands = valid & (k < last_sp) & (d < eps)
+    last_c = _masked_last(cands)
+    found = has_sp & (last_c >= 0)
+    return jnp.where(found, (last_c + lo).astype(jnp.float32), jnp.nan)
+
+
+def _bounded_offset(dwt_row, lo, hi, weight):
+    length = hi - lo
+    d, valid = _window(dwt_row, lo, length)
+    d = -d
+    sp = _local_max_mask(d, valid)
+    first_sp = _masked_first(sp)
+    has_sp = first_sp < BIG
+    eps = weight * d[jnp.clip(first_sp, 0, W - 1)]
+    k = jnp.arange(W)
+    cands = valid & (k >= first_sp) & (d < eps)
+    first_c = _masked_first(cands)
+    found = has_sp & (first_c < BIG)
+    return jnp.where(found, (first_c + lo).astype(jnp.float32), jnp.nan)
+
+
+def _argext_window(sig, lo, hi, mode_min=True):
+    """arg-min/max of sig over [lo, hi) as an absolute float index, NaN if
+    the window is empty."""
+    length = hi - lo
+    vals, valid = _window(sig, lo, length)
+    vals = jnp.where(valid, vals, jnp.inf if mode_min else -jnp.inf)
+    k = jnp.argmin(vals) if mode_min else jnp.argmax(vals)
+    ok = jnp.any(valid)
+    return jnp.where(ok, (k + lo).astype(jnp.float32), jnp.nan)
+
+
+def _delineate_window(sample: jnp.ndarray, peaks: jnp.ndarray, n_peaks: jnp.ndarray, fs_in: int):
+    """One 20-s window: returns dict of (K,) float32 fiducial indices at the
+    original rate (NaN padded)."""
+    fs = ANALYSIS_RATE
+    up = fs // fs_in
+    ecg = _resample4(sample.astype(jnp.float32))
+    dwt = _dwt_scales(ecg, 9)
+    deg = int(np.log2(fs / 250))  # 3
+
+    K = peaks.shape[0]
+    beat_valid = (jnp.arange(K) < n_peaks) & (peaks >= 0)
+    rp = jnp.where(beat_valid, peaks * up, 0).astype(jnp.int32)
+
+    srch_bndry = int(0.5 * 0.13 * fs)  # 130
+    t_dur = 2 * int(0.25 * fs)  # 1000
+    p_back = 2 * int(0.2 * fs)  # 800
+
+    def per_beat(r):
+        # T peak on scale 3+deg, P peak on scale 2+deg
+        tpk = _tp_peak_one(
+            ecg, dwt[3 + deg], r + srch_bndry, t_dur - srch_bndry, 0.25,
+            0.25 - 0.5 * 0.13, False, fs,
+        )
+        p_start = r - p_back
+        p_len = (r - srch_bndry) - p_start
+        ppk_raw = _tp_peak_one(ecg, dwt[2 + deg], p_start, p_len, 0.02, 0.2, True, fs)
+        ppk = jnp.where(p_start < 0, jnp.nan, ppk_raw)
+        return tpk, ppk
+
+    tpeaks, ppeaks = jax.vmap(per_beat)(rp)
+
+    def qrs_bounds(r, pp, tp):
+        on = jnp.where(
+            jnp.isnan(pp), jnp.nan, _bounded_onset(dwt[2 + deg], jnp.nan_to_num(pp).astype(jnp.int32), r, 0.5)
+        )
+        off = jnp.where(
+            jnp.isnan(tp), jnp.nan, _bounded_offset(dwt[2 + deg], r, jnp.nan_to_num(tp).astype(jnp.int32), 0.5)
+        )
+        return on, off
+
+    r_on, r_off = jax.vmap(qrs_bounds)(rp, ppeaks, tpeaks)
+
+    def tp_bounds(pk, dur_on, dur_off, w_on, w_off):
+        pki = jnp.nan_to_num(pk).astype(jnp.int32)
+        on = jnp.where(jnp.isnan(pk), jnp.nan, _onset_one(dwt[2 + deg], pki, dur_on, w_on, False))
+        off = jnp.where(jnp.isnan(pk), jnp.nan, _offset_one(dwt[2 + deg], pki, dur_off, w_off, True))
+        return on, off
+
+    p_on, p_off = jax.vmap(lambda pk: tp_bounds(pk, int(0.3 * fs), int(0.3 * fs), 0.4, 0.4))(ppeaks)
+    t_on, t_off = jax.vmap(lambda pk: tp_bounds(pk, int(0.6 * fs), int(0.3 * fs), 0.6, 0.4))(tpeaks)
+
+    def qs(r, on, off):
+        q = jnp.where(
+            jnp.isnan(on) | (jnp.nan_to_num(on).astype(jnp.int32) >= r),
+            jnp.nan,
+            _argext_window(ecg, jnp.nan_to_num(on).astype(jnp.int32), r, mode_min=True),
+        )
+        s = jnp.where(
+            jnp.isnan(off) | (r + 1 >= jnp.nan_to_num(off).astype(jnp.int32)),
+            jnp.nan,
+            _argext_window(ecg, r + 1, jnp.nan_to_num(off).astype(jnp.int32), mode_min=True),
+        )
+        return q, s
+
+    q_pk, s_pk = jax.vmap(qs)(rp, r_on, r_off)
+
+    def down(v):
+        out = jnp.floor(jnp.nan_to_num(v) * (1.0 / up)).astype(jnp.float32)
+        out = jnp.where(jnp.isnan(v) | ~beat_valid, jnp.nan, out)
+        return out
+
+    return {
+        "ECG_P_Peaks": down(ppeaks),
+        "ECG_P_Onsets": down(p_on),
+        "ECG_P_Offsets": down(p_off),
+        "ECG_Q_Peaks": down(q_pk),
+        "ECG_R_Onsets": down(r_on),
+        "ECG_R_Offsets": down(r_off),
+        "ECG_S_Peaks": down(s_pk),
+        "ECG_T_Peaks": down(tpeaks),
+        "ECG_T_Onsets": down(t_on),
+        "ECG_T_Offsets": down(t_off),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("fs_in",))
+def delineate_batch(
+    samples: jnp.ndarray, peaks: jnp.ndarray, n_peaks: jnp.ndarray, fs_in: int = 500
+) -> Dict[str, jnp.ndarray]:
+    """(B, T) windows + (B, K) padded R peaks -> ten (B, K) fiducial arrays
+    at the original rate (float32, NaN for undetected/padded)."""
+    return jax.vmap(lambda s, p, n: _delineate_window(s, p, n, fs_in))(samples, peaks, n_peaks)
