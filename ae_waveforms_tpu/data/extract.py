@@ -65,8 +65,14 @@ def _feature_rows(
     samples: np.ndarray,
     peak_lists: List[List[int]],
     cfg: ExtractionConfig,
+    peaks_padded: Optional[np.ndarray] = None,
+    n_peaks: Optional[np.ndarray] = None,
 ) -> (np.ndarray, np.ndarray):
-    """Delineation + per-sample 35-feature rows.
+    """Delineation + per-sample 35-feature rows (float64 host path).
+
+    Delineation runs through the index-exact C++ kernel when the native
+    library is available (built on demand from native/delineate.cpp),
+    falling back to the pure-Python implementation.
 
     Mirrors data_extract_vitaldb.py:118-169: a delineation exception yields an
     all-NaN row but *keeps* the sample; a beat-count mismatch (cannot happen
@@ -75,15 +81,33 @@ def _feature_rows(
     n = len(samples)
     rows = np.full((n, 35), np.nan)
     valid = np.ones(n, bool)
+
+    native_fids = None
+    if peaks_padded is not None and n > 0:
+        try:
+            from native import delineate_batch_native
+
+            native_fids = delineate_batch_native(
+                np.asarray(samples, np.float64), peaks_padded, n_peaks, cfg.sampling_frequency
+            )
+        except Exception:
+            native_fids = None
+
     for i in range(n):
         r_peaks = peak_lists[i]
         if len(r_peaks) == 0:
             valid[i] = False
             continue
-        try:
-            fid = delineate(samples[i], r_peaks, cfg.sampling_frequency)
-        except Exception:
-            continue  # parity: bare-except -> NaN row, sample kept
+        if native_fids is not None:
+            fid = {
+                k: [np.nan if np.isnan(v) else int(v) for v in native_fids[k][i][: len(r_peaks)]]
+                for k in native_fids
+            }
+        else:
+            try:
+                fid = delineate(samples[i], r_peaks, cfg.sampling_frequency)
+            except Exception:
+                continue  # parity: bare-except -> NaN row, sample kept
         if not all(len(fid[k]) == len(r_peaks) for k in fid):
             valid[i] = False
             continue
@@ -143,7 +167,7 @@ def extract_case(
         valid = np.asarray(n_peaks) > 0
     else:
         peak_lists = [list(map(int, p[:k])) for p, k in zip(peaks, n_peaks)]
-        rows, valid = _feature_rows(samples, peak_lists, cfg)
+        rows, valid = _feature_rows(samples, peak_lists, cfg, peaks_padded=peaks, n_peaks=n_peaks)
 
     result = CaseResult(
         case_id=case_id,

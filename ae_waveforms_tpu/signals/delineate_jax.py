@@ -44,17 +44,23 @@ def _resample4(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _dwt_scales(x: jnp.ndarray, max_degree: int = 9) -> jnp.ndarray:
-    """(max_degree, T) detail signals of the a-trous quadratic-spline bank."""
-    details = []
-    approx = x
+    """(max_degree, T) detail signals of the a-trous quadratic-spline bank.
+
+    The host computation lets intermediate approximations grow (full
+    convolutions feeding later scales near the tail); running every scale on
+    a zero-padded extended buffer reproduces exactly the entries that
+    survive the final trim to T."""
     T = x.shape[0]
+    pad = 2048  # covers the 9-scale growth (sum of 3 * 2^deg)
+    approx = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+    details = []
     for deg in range(max_degree):
         gap = np.zeros(2**deg - 1)
         delay = 2**deg
         g_taps = jnp.asarray(np.r_[2.0, gap, -2.0], x.dtype)
         h_taps = jnp.asarray(np.r_[1 / 8, gap, 3 / 8, gap, 3 / 8, gap, 1 / 8], x.dtype)
         detail = jnp.convolve(approx, g_taps, mode="full")[delay : delay + T]
-        smooth = jnp.convolve(approx, h_taps, mode="full")[delay : delay + T]
+        smooth = jnp.convolve(approx, h_taps, mode="full")[delay : delay + T + pad]
         details.append(detail)
         approx = smooth
     return jnp.stack(details)
