@@ -206,6 +206,69 @@ def ppv_analysis(
     return result
 
 
+def evaluate_combined_model_auc(X: np.ndarray, y: np.ndarray, best_params: Dict, seed: int) -> float:
+    """AUC of a combined-feature model on a stratified 80/20 split
+    (main_ml_classify.py:66-75 capability)."""
+    from sklearn.model_selection import train_test_split
+
+    Xtr, Xva, ytr, yva = train_test_split(X, y, test_size=0.2, random_state=seed, stratify=y)
+    m = GBTClassifier(**best_params, random_state=seed)
+    m.fit(Xtr, ytr)
+    return float(roc_auc_score(yva, m.predict_proba(Xva)[:, 1]))
+
+
+def plot_individual_feature_rocs(
+    X_train: np.ndarray,
+    X_val: np.ndarray,
+    y_train: np.ndarray,
+    y_val: np.ndarray,
+    best_params: Dict,
+    feature_names: Optional[Sequence[str]] = None,
+    out_path: Optional[str] = None,
+) -> Dict[str, float]:
+    """Per-feature single-variable ROC curves plus the combined model
+    (main_ml_classify.py:16-64 capability).  Returns {label: AUC}."""
+    from sklearn.metrics import roc_curve
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if feature_names is None:
+        feature_names = [
+            "P Duration", "PR Interval", "QRS Complex", "ST Interval", "ST Segment",
+            "P Prominence", "Q Prominence", "R Prominence", "S Prominence", "T Prominence",
+        ]
+    aucs: Dict[str, float] = {}
+    plt.figure(figsize=(8, 6))
+    for i in range(X_train.shape[1]):
+        m = GBTClassifier(**best_params, random_state=1)
+        m.fit(X_train[:, i : i + 1], y_train)
+        proba = m.predict_proba(X_val[:, i : i + 1])[:, 1]
+        fpr, tpr, _ = roc_curve(y_val, proba)
+        label = feature_names[i] if i < len(feature_names) else f"Feature {i + 1}"
+        aucs[label] = float(roc_auc_score(y_val, proba))
+        plt.plot(fpr, tpr, lw=1, label=f"{label} (AUC = {aucs[label]:.2f})")
+
+    full = GBTClassifier(**best_params, random_state=1)
+    full.fit(X_train, y_train)
+    proba = full.predict_proba(X_val)[:, 1]
+    fpr, tpr, _ = roc_curve(y_val, proba)
+    aucs["Combined"] = float(roc_auc_score(y_val, proba))
+    plt.plot(fpr, tpr, color="black", lw=2, label=f"Combined Model (AUC = {aucs['Combined']:.2f})")
+    plt.plot([0, 1], [0, 1], color="gray", linestyle="--")
+    plt.xlabel("False Positive Rate")
+    plt.ylabel("True Positive Rate")
+    plt.legend(loc="lower right", fontsize=8)
+    plt.grid(True)
+    plt.tight_layout()
+    if out_path:
+        plt.savefig(out_path, dpi=200)
+    plt.close()
+    return aucs
+
+
 def _plot_auc_vs_size(summary: List[Dict], out_path: str) -> None:
     import matplotlib
 

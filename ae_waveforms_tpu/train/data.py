@@ -33,8 +33,12 @@ def split_datasets(
     val_fraction: float = 0.2,
     test_fraction: float = 0.1,
     nr_train_ids: int = 0,
+    regex_rule: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Boolean masks (train, val, test) over rows of ``info`` (N, 2)."""
+    """Boolean masks (train, val, test) over rows of ``info`` (N, 2).
+
+    ``regex_rule`` optionally restricts every split to rows whose case id
+    matches the pattern (load_data.py:146-153)."""
     case_ids = info[:, 0]
     patterns = {s: os.path.join(dataset_dir, f"indices_{s}_*.npy") for s in ("train", "val", "test")}
     cached = {s: sorted(glob.glob(p)) for s, p in patterns.items()}
@@ -54,6 +58,14 @@ def split_datasets(
         stamp = time.strftime("%y%m%d")
         for s in masks:
             np.save(os.path.join(dataset_dir, f"indices_{s}_{stamp}"), masks[s])
+
+    if regex_rule is not None:
+        import re
+
+        pattern = re.compile(regex_rule)
+        matched = np.array([bool(pattern.match(str(c))) for c in case_ids])
+        for s in masks:
+            masks[s] = masks[s] & matched
 
     if nr_train_ids and nr_train_ids > 0:
         unique_ids = np.unique(case_ids)
@@ -85,3 +97,42 @@ def layout_waves(waves: np.ndarray, channel_first: bool) -> np.ndarray:
     """(N, 320) -> (N, 1, 320) for conv models, (N, 320, 1) for recurrent
     (load_data.py:35-46 swap_dim)."""
     return waves[:, None, :] if channel_first else waves[:, :, None]
+
+
+class WaveDataset:
+    """Array-backed dataset view (capability twin of the torch ``Datasets``
+    class, load_data.py:14-70): flag-mask selection, layout control, y == x
+    autoencoder targets, (x, y, f, c) item tuples, and the patient-
+    demographics accessor.
+
+    On TPU this is a *view* helper only — training consumes the raw device
+    arrays directly (there is no per-item host iteration in the hot path).
+    """
+
+    def __init__(self, waves, features, info, flag=None, channel_first: bool = True):
+        if flag is not None:
+            waves, features, info = waves[flag], features[flag], info[flag]
+        self.wave = layout_waves(np.asarray(waves, np.float32), channel_first)
+        self.features = np.asarray(features, np.float32)
+        self.info = np.asarray(info)
+        self.y = self.wave  # autoencoder target
+
+    def __len__(self) -> int:
+        return len(self.info)
+
+    def __getitem__(self, index):
+        return self.wave[index], self.y[index], self.features[index], self.info[index]
+
+    def get_yvals(self):
+        return self.y
+
+    def get_patient_demographics(self):
+        """Per-patient mean of the feature columns keyed by case id
+        (load_data.py:66-70 capability; the reference assumes demographic
+        columns, here it is the generic per-id aggregation)."""
+        import pandas as pd
+
+        ids = self.info[:, 0]
+        df = pd.DataFrame(self.features)
+        df.insert(0, "id", ids)
+        return df.groupby("id").mean().reset_index()
