@@ -202,6 +202,45 @@ def predict_margin(ens: GBTEnsemble, bins: jnp.ndarray, max_depth: int) -> jnp.n
     return margin
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "n_estimators", "n_bins"),
+)
+def fit_gbt_multi(
+    bins: jnp.ndarray,  # (n, F) shared pre-binned pool
+    y: jnp.ndarray,  # (n,)
+    row_weights: jnp.ndarray,  # (S, n) per-seed selection masks
+    rngs: jnp.ndarray,  # (S, 2) PRNG keys
+    max_depth: int = 6,
+    n_estimators: int = 100,
+    learning_rate: float = 0.3,
+    gamma: float = 0.0,
+    min_child_weight: float = 1.0,
+    subsample: float = 1.0,
+    colsample_bytree: float = 1.0,
+    n_bins: int = N_BINS,
+) -> GBTEnsemble:
+    """All seeds of an evaluation sweep fitted in one device program.
+
+    vmap over (row_weights, rngs): the shared one-hot bin matrix is traced
+    once, and the per-level histograms become batched (S, nodes, n) x
+    (n, F*bins) matmuls.  Binning uses the shared candidate pool's quantile
+    edges (the per-seed training subsets are row-masks over the pool)."""
+    fit = lambda w, k: fit_gbt(
+        bins, y, w, k,
+        max_depth=max_depth, n_estimators=n_estimators, learning_rate=learning_rate,
+        gamma=gamma, min_child_weight=min_child_weight, subsample=subsample,
+        colsample_bytree=colsample_bytree, n_bins=n_bins,
+    )
+    return jax.vmap(fit)(row_weights, rngs)
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def predict_margin_multi(ens: GBTEnsemble, bins: jnp.ndarray, max_depth: int) -> jnp.ndarray:
+    """(S, ...) ensembles x shared test bins -> (S, n) margins."""
+    return jax.vmap(lambda e: predict_margin(e, bins, max_depth))(ens)
+
+
 class GBTClassifier:
     """sklearn/xgboost-style wrapper over the jitted kernels."""
 

@@ -125,6 +125,56 @@ def _fit_eval(data: ClassData, size: int, seed: int, best_params: Dict, drop_col
     return m.predict_proba(X_test)[:, 1]
 
 
+def _fit_eval_vectorized(
+    data: ClassData, size: int, n_seeds: int, best_params: Dict, drop_col: Optional[int]
+) -> np.ndarray:
+    """All seeds of one size fitted in a single vmapped device program.
+
+    Seed subsets become row-weight masks over the pooled train matrix;
+    binning uses the pool's quantile edges (vs per-subset edges in the
+    sequential path — an approximation-detail difference only)."""
+    import jax
+
+    from ae_waveforms_tpu.classify.gbt import (
+        bin_data,
+        compute_bin_edges,
+        fit_gbt_multi,
+        predict_margin_multi,
+    )
+
+    X_pool = np.concatenate([data.control_train, data.sick_train], axis=0).astype(np.float32)
+    y_pool = np.concatenate(
+        [np.zeros(len(data.control_train)), np.ones(len(data.sick_train))]
+    ).astype(np.float32)
+    X_test = data.X_test
+    if drop_col is not None:
+        X_pool = np.delete(X_pool, drop_col, axis=1)
+        X_test = np.delete(X_test, drop_col, axis=1)
+
+    n_c = len(data.control_train)
+    weights = np.zeros((n_seeds, len(y_pool)), np.float32)
+    for seed in range(n_seeds):
+        rng = np.random.default_rng(seed + 42)
+        weights[seed, rng.choice(n_c, size, replace=False)] = 1.0
+        weights[seed, n_c + rng.choice(len(data.sick_train), size, replace=False)] = 1.0
+
+    edges = compute_bin_edges(X_pool)
+    bins_pool = bin_data(X_pool, edges)
+    bins_test = bin_data(np.asarray(X_test, np.float32), edges)
+    rngs = jax.vmap(jax.random.PRNGKey)(np.arange(n_seeds) + 42)
+
+    p = best_params
+    ens = fit_gbt_multi(
+        bins_pool, y_pool, weights, rngs,
+        max_depth=int(p["max_depth"]), n_estimators=int(p["n_estimators"]),
+        learning_rate=float(p["learning_rate"]), gamma=float(p["gamma"]),
+        min_child_weight=float(p["min_child_weight"]), subsample=float(p["subsample"]),
+        colsample_bytree=float(p["colsample_bytree"]),
+    )
+    margins = np.asarray(predict_margin_multi(ens, bins_test, int(p["max_depth"])))
+    return 1.0 / (1.0 + np.exp(-margins))  # (S, n_test)
+
+
 def size_seed_sweep(
     data: ClassData,
     best_params: Dict,
@@ -133,18 +183,27 @@ def size_seed_sweep(
     drop_col: Optional[int] = None,
     out_dir: Optional[str] = None,
     file_stem: str = "",
+    vectorized: bool = False,
 ) -> Tuple[List[Dict], List[Dict]]:
     """AUC-vs-training-size evaluation; writes individual_aucs.csv and
-    summary_auc_by_size.csv plus the AUC-vs-size plot when out_dir given."""
+    summary_auc_by_size.csv plus the AUC-vs-size plot when out_dir given.
+    ``vectorized=True`` fits all seeds of a size in one device program."""
     auc_records, summary_records = [], []
     for size in sizes:
         size = min(size, len(data.control_train), len(data.sick_train))
         aucs = []
-        for seed in range(n_seeds):
-            proba = _fit_eval(data, size, seed, best_params, drop_col)
-            auc = roc_auc_score(data.y_test, proba)
-            aucs.append(auc)
-            auc_records.append({"size": size, "seed": seed, "auc": auc})
+        if vectorized:
+            probas = _fit_eval_vectorized(data, size, n_seeds, best_params, drop_col)
+            for seed in range(n_seeds):
+                auc = roc_auc_score(data.y_test, probas[seed])
+                aucs.append(auc)
+                auc_records.append({"size": size, "seed": seed, "auc": auc})
+        else:
+            for seed in range(n_seeds):
+                proba = _fit_eval(data, size, seed, best_params, drop_col)
+                auc = roc_auc_score(data.y_test, proba)
+                aucs.append(auc)
+                auc_records.append({"size": size, "seed": seed, "auc": auc})
         summary_records.append(
             {
                 "size": size,

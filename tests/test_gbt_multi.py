@@ -1,0 +1,53 @@
+"""Vmapped multi-seed GBT fits: consistency with single fits and the
+vectorized harness path."""
+
+import numpy as np
+import jax
+from sklearn.metrics import roc_auc_score
+
+from ae_waveforms_tpu.classify.gbt import (
+    bin_data,
+    compute_bin_edges,
+    fit_gbt,
+    fit_gbt_multi,
+    predict_margin,
+    predict_margin_multi,
+)
+
+
+def test_multi_matches_single_fit():
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((500, 6)).astype(np.float32)
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(np.float32)
+    edges = compute_bin_edges(X)
+    bins = bin_data(X, edges)
+
+    weights = np.ones((3, 500), np.float32)
+    weights[1, ::2] = 0.0
+    weights[2, 250:] = 0.0
+    rngs = jax.vmap(jax.random.PRNGKey)(np.arange(3))
+
+    kw = dict(max_depth=4, n_estimators=30, learning_rate=0.2)
+    multi = fit_gbt_multi(bins, y, weights, rngs, **kw)
+    m_multi = np.asarray(predict_margin_multi(multi, bins, 4))
+    for s in range(3):
+        single = fit_gbt(bins, y, weights[s], jax.random.PRNGKey(s), **kw)
+        m_single = np.asarray(predict_margin(single, bins, 4))
+        np.testing.assert_allclose(m_multi[s], m_single, atol=1e-5)
+
+
+def test_vectorized_harness_close_to_sequential():
+    from ae_waveforms_tpu.classify.harness import prepare_class_data, size_seed_sweep
+
+    rng = np.random.default_rng(1)
+    control = rng.standard_normal((300, 8)).astype(np.float32)
+    sick = (rng.standard_normal((300, 8)) + 1.0).astype(np.float32)
+    data = prepare_class_data(control, sick, test_size=80)
+    params = dict(max_depth=3, learning_rate=0.2, n_estimators=30, gamma=0.0,
+                  min_child_weight=1, subsample=1.0, colsample_bytree=1.0)
+
+    _, seq = size_seed_sweep(data, params, sizes=[100], n_seeds=4)
+    _, vec = size_seed_sweep(data, params, sizes=[100], n_seeds=4, vectorized=True)
+    # same task, slightly different binning/subsample RNG -> close medians
+    assert abs(seq[0]["median_auc"] - vec[0]["median_auc"]) < 0.05
+    assert vec[0]["median_auc"] > 0.85
