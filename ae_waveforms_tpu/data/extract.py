@@ -44,6 +44,17 @@ class CaseResult:
     n_windows_raw: int = 0  # before QC
 
 
+def _pad_batch(arr: np.ndarray, bucket: int = 16):
+    """Pad the leading dim to the next multiple of ``bucket`` (zero rows);
+    returns (padded, n_real)."""
+    n = len(arr)
+    target = max(bucket, ((n + bucket - 1) // bucket) * bucket)
+    if target == n:
+        return arr, n
+    pad = np.zeros((target - n, *arr.shape[1:]), arr.dtype)
+    return np.concatenate([arr, pad], axis=0), n
+
+
 def preprocess_record(record: np.ndarray, cfg: ExtractionConfig) -> np.ndarray:
     """Trim NaN edges, z-score, zero-phase HP+LP (data_extract_vitaldb.py:53-78)."""
     finite = ~np.isnan(record)
@@ -145,25 +156,32 @@ def extract_case(
         sd = np.nanstd(samples, axis=1, keepdims=True)
         samples = (samples - mu) / sd
 
-    samples_f32 = samples.astype(np.float32)
+    # pad the window batch to a bucket size so the jitted kernels compile
+    # once per bucket instead of once per case's window count
+    samples_f32, n_real = _pad_batch(samples.astype(np.float32))
     peaks, n_peaks = find_rpeaks_batch(samples_f32, cfg.sampling_frequency)
-    peaks = np.asarray(peaks)
-    n_peaks = np.asarray(n_peaks)
-    keep = np.asarray(
-        qc_mask(samples_f32, peaks, n_peaks, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg)
+    keep_padded = qc_mask(
+        samples_f32, peaks, n_peaks, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg
     )
+    peaks = np.asarray(peaks)[:n_real]
+    n_peaks = np.asarray(n_peaks)[:n_real]
+    keep = np.asarray(keep_padded)[:n_real]
 
     samples, peaks, n_peaks, indices = samples[keep], peaks[keep], n_peaks[keep], indices[keep]
-    medians = np.asarray(median_beat_batch(samples.astype(np.float32), peaks, n_peaks))
+    n_kept = len(samples)
+    kept_f32, _ = _pad_batch(samples.astype(np.float32))
+    peaks_p, _ = _pad_batch(peaks)
+    n_peaks_p, _ = _pad_batch(n_peaks)
+    medians = np.asarray(median_beat_batch(kept_f32, peaks_p, n_peaks_p))[:n_kept]
 
-    if cfg.delineation_engine == "device" and len(samples):
+    if cfg.delineation_engine == "device" and n_kept:
         from ae_waveforms_tpu.signals.delineate_jax import delineate_batch
         from ae_waveforms_tpu.signals.features_jax import feature_rows_batch
 
-        fiducials = delineate_batch(samples.astype(np.float32), peaks, n_peaks, cfg.sampling_frequency)
+        fiducials = delineate_batch(kept_f32, peaks_p, n_peaks_p, cfg.sampling_frequency)
         rows = np.asarray(
-            feature_rows_batch(samples.astype(np.float32), peaks, n_peaks, fiducials, cfg.sampling_frequency)
-        )
+            feature_rows_batch(kept_f32, peaks_p, n_peaks_p, fiducials, cfg.sampling_frequency)
+        )[:n_kept]
         valid = np.asarray(n_peaks) > 0
     else:
         peak_lists = [list(map(int, p[:k])) for p, k in zip(peaks, n_peaks)]
