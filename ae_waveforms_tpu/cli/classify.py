@@ -59,7 +59,8 @@ def run_latent(args):
     gs = grid_search_cv(X, y, n_candidates=args.gs_candidates, random_state=1, verbose=True)
     print("Best hyperparameters found:", gs["best_params"])
     out = os.path.join(args.data, "results", os.path.splitext(args.sick_file)[0].split("_")[-1].lower())
-    size_seed_sweep(data, gs["best_params"], sizes=args.sizes, n_seeds=args.seeds, out_dir=out)
+    size_seed_sweep(data, gs["best_params"], sizes=args.sizes, n_seeds=args.seeds, out_dir=out,
+                    vectorized=args.vectorized)
 
 
 def run_ppv(args):
@@ -100,7 +101,8 @@ def run_deep(args):
     sick = select_by_ids(ids, waves, _load_ids(args.data, args.sick_file))[:12000]
     out = os.path.join(args.data, f"{args.epochs}_{os.path.splitext(args.sick_file)[0]}")
     dl_size_seed_sweep(control, sick, sizes=args.sizes or DL_SIZES, n_seeds=args.seeds,
-                       num_epochs=args.epochs, out_dir=out, save_models=args.save_models)
+                       num_epochs=args.epochs, out_dir=out, save_models=args.save_models,
+                       vectorized=args.vectorized)
 
 
 def main(argv=None):
@@ -118,6 +120,8 @@ def main(argv=None):
     p.add_argument("--gs_size", type=int, default=6000)
     p.add_argument("--epochs", type=int, default=153)
     p.add_argument("--save_models", action="store_true")
+    p.add_argument("--vectorized", action="store_true",
+                   help="fit all seeds of a size in one vmapped device program")
     args = p.parse_args(argv)
     {"latent": run_latent, "features": run_features, "deep": run_deep, "ppv": run_ppv}[args.task](args)
 

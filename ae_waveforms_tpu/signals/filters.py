@@ -232,6 +232,41 @@ def _filtfilt_fullseg(x, order, cutoff_hz, btype, fs):
     return filtfilt(x, sos, zi, padlen)
 
 
+def _dyn_gather(x, idx):
+    return x[jnp.clip(idx, 0, x.shape[0] - 1)]
+
+
+@functools.partial(jax.jit, static_argnames=("order", "cutoff_hz", "btype", "fs"))
+def filtfilt_fixed(x: jnp.ndarray, n_valid, order, cutoff_hz, btype, fs):
+    """Fixed-shape filtfilt: x is a zero-padded buffer of static length N
+    with ``n_valid`` real samples.  The odd extension, both filter passes and
+    the reversals are built from dynamic gathers, so one compilation serves
+    every segment length in a bucket — the device extraction path never
+    recompiles per record/segment length.
+
+    Returns an (N,) buffer whose first n_valid entries are the filtered
+    segment (positions beyond are unspecified)."""
+    sos, zi_rows = butter_sos(order, cutoff_hz, btype, fs)
+    padlen = 3 * (order + 1)
+    N = x.shape[0]
+    L = n_valid
+    M = L + 2 * padlen  # extended length
+
+    p = jnp.arange(N + 2 * padlen)
+    # odd extension with dynamic valid length
+    left = 2 * x[0] - _dyn_gather(x, padlen - p)
+    mid = _dyn_gather(x, p - padlen)
+    right = 2 * _dyn_gather(x, L - 1) - _dyn_gather(x, 2 * L + padlen - 2 - p)
+    ext = jnp.where(p < padlen, left, jnp.where(p < padlen + L, mid, jnp.where(p < M, right, 0.0)))
+
+    y = _parallel_sosfilt(ext, sos, zi_rows, ext[0])
+    # dynamic-length reversal: rev[p] = y[M-1-p]
+    y = jnp.where(p < M, _dyn_gather(y, M - 1 - p), 0.0)
+    y = _parallel_sosfilt(y, sos, zi_rows, y[0])
+    y = jnp.where(p < M, _dyn_gather(y, M - 1 - p), 0.0)
+    return y[padlen : padlen + N]
+
+
 def butterworth(
     data: np.ndarray,
     btype: str,
@@ -266,13 +301,19 @@ def butterworth(
 
     for start, end in zip(seg_start, seg_end):
         seg = data[start:end]
-        if end - start <= thresh:
+        n = end - start
+        if n <= thresh:
             out[start:end] = seg
         elif precision == "float64":
             out[start:end] = scipy.signal.filtfilt(b, a, seg.astype(np.float64))
         else:
-            y = _filtfilt_fullseg(
-                jnp.asarray(seg, jnp.float32), filter_order, float(cutoff_frequency), btype, float(sampling_frequency)
+            # bucket the segment length so the fixed-shape kernel compiles
+            # once per power-of-two bucket, not per length
+            bucket = 1 << max(10, int(np.ceil(np.log2(n))))
+            buf = np.zeros(bucket, np.float32)
+            buf[:n] = seg
+            y = filtfilt_fixed(
+                jnp.asarray(buf), n, filter_order, float(cutoff_frequency), btype, float(sampling_frequency)
             )
-            out[start:end] = np.asarray(y)
+            out[start:end] = np.asarray(y)[:n]
     return out
