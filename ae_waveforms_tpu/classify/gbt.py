@@ -26,7 +26,7 @@ consumed third-party dependency in the reference, not reference code.
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

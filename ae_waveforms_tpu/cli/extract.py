@@ -17,8 +17,6 @@ import json
 import os
 import time
 
-import numpy as np
-
 from ae_waveforms_tpu.core.config import ExtractionConfig
 from ae_waveforms_tpu.core.schema import save_arrays
 from ae_waveforms_tpu.data.arrays import build_arrays

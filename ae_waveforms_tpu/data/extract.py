@@ -14,12 +14,11 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 
 from ae_waveforms_tpu.core.config import ExtractionConfig
-from ae_waveforms_tpu.core.schema import FIDUCIAL_NAMES, MORPHOLOGY_NAMES
 from ae_waveforms_tpu.signals.delineate import delineate
 from ae_waveforms_tpu.signals.features import (
     median_feature_row,

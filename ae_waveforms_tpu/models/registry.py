@@ -10,7 +10,7 @@ swap_dim logic, keyed on "LSTM" in the class name just like run_train.py
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Dict
+from typing import Callable, Dict
 
 from ae_waveforms_tpu.models import conv_ae, lstm_ae
 

@@ -11,8 +11,6 @@ TPU-native: one gather + masked sort per window, vmapped over the batch.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -27,8 +27,6 @@ device call instead of 2000 x |test set| Python loops.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

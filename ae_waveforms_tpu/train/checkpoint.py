@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Any, Dict
+from typing import Any
 
 import jax
 import numpy as np

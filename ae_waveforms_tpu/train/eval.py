@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import glob
 import os
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -75,18 +75,32 @@ class CsvLogs:
 
 
 class JsonlTracker:
-    """Append-only scalar stream tracker (Neptune-capability stand-in)."""
+    """Append-only scalar stream tracker (Neptune-capability stand-in).
 
-    def __init__(self, results_dir: str, tags=None):
+    Writes are buffered (flushed every ``flush_every`` records) so per-step
+    logging of a 228k-step run stays off the training loop's critical path.
+    """
+
+    def __init__(self, results_dir: str, tags=None, flush_every: int = 512):
         self.path = os.path.join(results_dir, "run.jsonl")
         self._f = open(self.path, "a")
+        self._buf = []
+        self._flush_every = flush_every
         if tags:
             self.log("tags", tags)
 
     def log(self, stream: str, value) -> None:
-        self._f.write(json.dumps({"t": time.time(), "stream": stream, "value": value}) + "\n")
+        self._buf.append(json.dumps({"t": time.time(), "stream": stream, "value": value}))
+        if len(self._buf) >= self._flush_every:
+            self._drain()
+
+    def _drain(self) -> None:
+        if self._buf:
+            self._f.write("\n".join(self._buf) + "\n")
+            self._buf.clear()
 
     def close(self) -> None:
+        self._drain()
         self._f.flush()
         self._f.close()
 

@@ -22,9 +22,8 @@ from __future__ import annotations
 import math
 import os
 import time
-from dataclasses import dataclass
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,22 +37,13 @@ from ae_waveforms_tpu.parallel.mesh import data_mesh
 from ae_waveforms_tpu.train import checkpoint as ckpt
 from ae_waveforms_tpu.train.data import layout_waves, split_datasets
 from ae_waveforms_tpu.train.logs import CsvLogs, make_tracker, setup_logging
-from ae_waveforms_tpu.train.losses import LOSSES
 from ae_waveforms_tpu.train.optimizers import make_optimizer
 from ae_waveforms_tpu.train.schedules import (
     cosine_annealing_warm_restarts,
     cosine_annealing_warmup_hard_restarts,
 )
 
-__all__ = ["main_train", "TrainState"]
-
-
-@dataclass
-class TrainState:
-    params: Dict
-    opt_state: object
-    rng: jnp.ndarray
-    step: int  # global step counter
+__all__ = ["main_train"]
 
 
 def _elementwise_loss(kind: str, pred, true):
