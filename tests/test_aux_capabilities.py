@@ -79,3 +79,14 @@ def test_qc_grid_plot(tmp_path):
     assert (tmp_path / "grid.png").exists()
     out2 = plot_fiducials(samples[0], {"ECG_T_Peaks": [100, np.nan, 300]}, str(tmp_path / "fid.png"))
     assert (tmp_path / "fid.png").exists()
+
+
+def test_handcrafted_feature_export():
+    from ae_waveforms_tpu.classify.feature_export import HANDCRAFTED_COLUMNS, export_handcrafted_features
+
+    assert HANDCRAFTED_COLUMNS == [20, 25, 26, 27, 28, 24, 30, 31, 32, 33, 34]
+    feats = np.arange(6 * 35).reshape(6, 35).astype(float)
+    info = np.stack([np.array([1, 1, 2, 2, 3, 3]), np.zeros(6)], axis=1)
+    out = export_handcrafted_features(feats, info, np.array([1, 3]), cap=3)
+    assert out.shape == (3, 11)
+    np.testing.assert_array_equal(out[0], feats[0][HANDCRAFTED_COLUMNS])
