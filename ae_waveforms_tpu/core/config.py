@@ -14,6 +14,27 @@ from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
 
+def load_env_file(path: str = "vars.env", override: bool = False) -> dict:
+    """Load KEY=VALUE pairs from an env file into os.environ (the reference's
+    dotenv-based vars.env contract, config.py:6-12, without requiring the
+    python-dotenv package).  Returns the parsed mapping."""
+    values = {}
+    if os.path.isfile(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#") or "=" not in line:
+                    continue
+                k, v = line.split("=", 1)
+                values[k.strip()] = v.strip()
+                if override or k.strip() not in os.environ:
+                    os.environ[k.strip()] = v.strip()
+    return values
+
+
+load_env_file()  # opportunistic, like the reference's module-import load
+
+
 def _env(name: str, default: str) -> str:
     return os.environ.get(name, default)
 

@@ -90,3 +90,16 @@ def test_handcrafted_feature_export():
     out = export_handcrafted_features(feats, info, np.array([1, 3]), cap=3)
     assert out.shape == (3, 11)
     np.testing.assert_array_equal(out[0], feats[0][HANDCRAFTED_COLUMNS])
+
+
+def test_load_env_file(tmp_path, monkeypatch):
+    import os
+
+    from ae_waveforms_tpu.core.config import load_env_file
+
+    p = tmp_path / "vars.env"
+    p.write_text("DATA_FOLDER_PATH=/some/path\n# comment\nNPT_PROJECT=me/proj\n")
+    monkeypatch.delenv("NPT_PROJECT", raising=False)
+    vals = load_env_file(str(p))
+    assert vals["DATA_FOLDER_PATH"] == "/some/path"
+    assert os.environ["NPT_PROJECT"] == "me/proj"
