@@ -113,9 +113,36 @@ class _NoopTracker:
         pass
 
 
+class NeptuneTracker:
+    """Adapter for the reference's Neptune channel — used only when the
+    neptune client is importable and credentials are configured
+    (run_train.py:394-407 capability; optional in this framework)."""
+
+    def __init__(self, results_dir: str, tags=None):
+        import neptune  # gated optional dependency
+
+        self.run = neptune.init_run(
+            project=os.environ.get("NPT_PROJECT"),
+            api_token=os.environ.get("NPT_API_TOKEN"),
+            tags=[str(t) for t in (tags or [])],
+        )
+
+    def log(self, stream: str, value) -> None:
+        self.run[stream].append(value)
+
+    def close(self) -> None:
+        self.run.stop()
+
+
 def make_tracker(kind: Optional[str], results_dir: str, tags=None):
     if kind in (None, "none", False):
         return _NoopTracker()
     if kind in ("jsonl", "csv", True):
         return JsonlTracker(results_dir, tags)
+    if kind == "neptune":
+        try:
+            return NeptuneTracker(results_dir, tags)
+        except ImportError:
+            logging.getLogger("tracker").warning("neptune unavailable; falling back to jsonl")
+            return JsonlTracker(results_dir, tags)
     raise ValueError(f"unknown tracker {kind!r}")
