@@ -79,9 +79,16 @@ def fit_gbt(
     subsample: float = 1.0,
     colsample_bytree: float = 1.0,
     n_bins: int = N_BINS,
+    n_active=None,
 ) -> GBTEnsemble:
+    """``n_active`` (traced, defaults to n_estimators) masks trees beyond it
+    to no-ops: a hyperparameter sweep can fix ``n_estimators`` at the grid
+    cap so one compilation per depth serves every candidate."""
     n, F = bins.shape
     max_nodes = 2**max_depth
+    if n_active is None:
+        n_active = n_estimators
+    n_active = jnp.asarray(n_active, jnp.int32)
 
     # static one-hot bin indicators: (n, F * n_bins)
     onehot = jax.nn.one_hot(bins + jnp.arange(F)[None, :] * n_bins, F * n_bins, dtype=jnp.float32)
@@ -91,8 +98,10 @@ def fit_gbt(
     gamma = jnp.asarray(gamma, jnp.float32)
     mcw = jnp.asarray(min_child_weight, jnp.float32)
 
-    def grow_tree(carry, key):
+    def grow_tree(carry, inp):
+        tree_idx, key = inp
         margin = carry
+        active = (tree_idx < n_active).astype(jnp.float32)
         k_row, k_col = jax.random.split(key)
         # subsample/colsample are traced scalars so one compilation serves
         # every LHS hyperparameter candidate; rate 1.0 degenerates to all-true
@@ -163,7 +172,7 @@ def fit_gbt(
         leaf_onehot = jax.nn.one_hot(node_of, max_nodes, dtype=jnp.float32)
         Gl = leaf_onehot.T @ g
         Hl = leaf_onehot.T @ h
-        wleaf = -Gl / (Hl + LAMBDA)
+        wleaf = (-Gl / (Hl + LAMBDA)) * active
         margin = margin + lr * wleaf[node_of]
 
         # heap layout bookkeeping: feat/thr/split arrays are heap-indexed via
@@ -172,7 +181,9 @@ def fit_gbt(
 
     keys = jax.random.split(rng, n_estimators)
     margin0 = jnp.full((n,), BASE_SCORE, jnp.float32)
-    _, (feats, thrs, splits, leaves) = jax.lax.scan(grow_tree, margin0, keys)
+    _, (feats, thrs, splits, leaves) = jax.lax.scan(
+        grow_tree, margin0, (jnp.arange(n_estimators), keys)
+    )
     return GBTEnsemble(feat=feats, thresh=thrs, is_split=splits, leaf=leaves, lr=lr)
 
 
@@ -255,8 +266,12 @@ class GBTClassifier:
         colsample_bytree: float = 1.0,
         random_state: int = 0,
         n_bins: int = N_BINS,
+        n_estimators_cap: Optional[int] = None,
         **_ignored,
     ):
+        # n_estimators_cap: compile with a fixed tree budget and mask the
+        # rest (one compilation per depth across a hyperparameter sweep)
+        self.n_estimators_cap = n_estimators_cap
         self.params = dict(
             max_depth=int(max_depth),
             learning_rate=float(learning_rate),
@@ -280,19 +295,21 @@ class GBTClassifier:
             np.ones(len(y), np.float32) if sample_weight is None else np.asarray(sample_weight, np.float32)
         )
         p = self.params
+        cap = self.n_estimators_cap or p["n_estimators"]
         self._ens = fit_gbt(
             bins,
             jnp.asarray(y),
             w,
             jax.random.PRNGKey(self.random_state),
             max_depth=p["max_depth"],
-            n_estimators=p["n_estimators"],
+            n_estimators=cap,
             learning_rate=p["learning_rate"],
             gamma=p["gamma"],
             min_child_weight=p["min_child_weight"],
             subsample=p["subsample"],
             colsample_bytree=p["colsample_bytree"],
             n_bins=self.n_bins,
+            n_active=min(p["n_estimators"], cap),
         )
         return self
 

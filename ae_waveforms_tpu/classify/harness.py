@@ -94,12 +94,14 @@ def grid_search_cv(
     folds = np.array_split(order, cv)
 
     best_score, best_params = -np.inf, None
+    cap = max(p["n_estimators"] for p in params)
     for i, p in enumerate(params):
         scores = []
         for f in range(cv):
             te = folds[f]
             tr = np.concatenate([folds[g] for g in range(cv) if g != f])
-            m = GBTClassifier(**p, random_state=random_state)
+            # fixed tree budget -> one compilation per depth for the sweep
+            m = GBTClassifier(**p, random_state=random_state, n_estimators_cap=cap)
             m.fit(X[tr], y[tr])
             scores.append(roc_auc_score(y[te], m.predict_proba(X[te])[:, 1]))
         s = float(np.mean(scores))

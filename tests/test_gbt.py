@@ -68,3 +68,26 @@ def test_sample_weight_mask_restricts_training():
     m.fit(Xtr, ytr, sample_weight=w)
     p = m.predict_proba(Xte)[:, 1]
     assert p.min() > 0.5  # only positive examples seen
+
+
+def test_estimator_cap_masks_extra_trees():
+    """A capped fit with n_active == requested trees must match the exact
+    fit with the same tree count, and extra trees must be inert."""
+    import jax
+    import jax.numpy as jnp
+
+    from ae_waveforms_tpu.classify.gbt import bin_data, compute_bin_edges, fit_gbt, predict_margin
+
+    Xtr, Xte, ytr, yte = _task(n=400)
+    edges = compute_bin_edges(Xtr)
+    bins = bin_data(Xtr, edges)
+    w = np.ones(len(ytr), np.float32)
+    kw = dict(max_depth=3, learning_rate=0.2)
+
+    exact = fit_gbt(bins, jnp.asarray(ytr, jnp.float32), w, jax.random.PRNGKey(0),
+                    n_estimators=40, **kw)
+    capped = fit_gbt(bins, jnp.asarray(ytr, jnp.float32), w, jax.random.PRNGKey(0),
+                     n_estimators=100, n_active=40, **kw)
+    m_exact = np.asarray(predict_margin(exact, bins, 3))
+    m_capped = np.asarray(predict_margin(capped, bins, 3))
+    np.testing.assert_allclose(m_capped, m_exact, atol=1e-5)
