@@ -13,6 +13,9 @@ from ae_waveforms_tpu.core.config import TrainConfig
 
 
 def main(argv=None):
+    from ae_waveforms_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--dataset_dir", required=True)
     p.add_argument("--results_dir", default="./results")

@@ -106,6 +106,9 @@ def run_deep(args):
 
 
 def main(argv=None):
+    from ae_waveforms_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("task", choices=["latent", "features", "deep", "ppv"])
     p.add_argument("--data", required=True)

@@ -25,6 +25,9 @@ from ae_waveforms_tpu.data.vitaldb_io import find_cases, have_vitaldb, make_load
 
 
 def main(argv=None):
+    from ae_waveforms_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--out", type=str, required=True, help="output dataset dir")
     p.add_argument("--cases", type=int, default=16, help="number of cases (offline mode)")

@@ -88,6 +88,9 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
 
 
 def autoencoder(custom_args: Optional[List[str]] = None):
+    from ae_waveforms_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(custom_args)
     cfg = config_from_args(args)
     np.random.seed(cfg.seed)

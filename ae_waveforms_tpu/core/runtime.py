@@ -1,0 +1,22 @@
+"""Runtime environment helpers."""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["enable_compilation_cache"]
+
+_DEFAULT_CACHE = os.path.expanduser("~/.cache/ae_waveforms_tpu/jax")
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    """Turn on JAX's persistent compilation cache so cold CLI processes and
+    benchmark runs reuse compiled programs across invocations (single-core
+    hosts pay minutes per cold compile otherwise)."""
+    import jax
+
+    cache_dir = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT_CACHE)
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return cache_dir

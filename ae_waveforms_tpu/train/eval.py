@@ -46,6 +46,10 @@ def main_test(
     params: Optional[Dict] = None,
     mesh=None,
 ) -> Tuple[str, tuple, tuple, np.ndarray]:
+    if cfg.model_class not in MODEL_REGISTRY:
+        raise ValueError(
+            f"unknown model class {cfg.model_class!r}; available: {sorted(MODEL_REGISTRY)}"
+        )
     mdef = MODEL_REGISTRY[cfg.model_class]
     if mesh is None:
         mesh = data_mesh()

@@ -179,6 +179,10 @@ def main_train(
 
     if mesh is None:
         mesh = data_mesh()
+    if cfg.model_class not in MODEL_REGISTRY:
+        raise ValueError(
+            f"unknown model class {cfg.model_class!r}; available: {sorted(MODEL_REGISTRY)}"
+        )
     mdef = MODEL_REGISTRY[cfg.model_class]
 
     rng = jax.random.PRNGKey(cfg.seed)

@@ -105,6 +105,9 @@ def bench_torch_cpu(n_steps: int = 3) -> float:
 
 
 def main():
+    from ae_waveforms_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     tpu = bench_tpu()
     ref = bench_torch_cpu()
     print(

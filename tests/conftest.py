@@ -6,6 +6,11 @@ backend with JAX_PLATFORMS=axon, so plain env vars are too late here —
 ``jax.config.update`` switches the platform post-import, and XLA_FLAGS is
 still honoured because no backend has been initialised yet when pytest
 imports this file.
+
+NOTE (environment): the axon plugin routes compilations through a remote
+relay that serialises across processes — run ONE jax process at a time, or
+use tests/run_tests.sh which strips the axon variables for fully local CPU
+compilation.
 """
 
 import os
