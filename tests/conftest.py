@@ -26,3 +26,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ae_waveforms_tpu.core.runtime import enable_compilation_cache
+
+enable_compilation_cache()  # repeated suite runs reuse compiled programs
