@@ -95,3 +95,81 @@ def test_adam_training_trajectory_matches_torch():
 
     np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-4, atol=2e-5)
     assert jax_losses[-1] < jax_losses[0]  # both actually train
+
+
+def test_lstm_ae_adam_trajectory_matches_torch():
+    """Same check for the flagship recurrent model (short sequences keep the
+    torch-CPU side fast)."""
+    from ae_waveforms_tpu.models import lstm_ae
+
+    params = lstm_ae.init(jax.random.PRNGKey(1), latent_size=4)
+    rng = np.random.default_rng(1)
+    batches = rng.standard_normal((8, 8, 48, 1)).astype(np.float32)
+
+    class Oracle(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.e1 = tnn.LSTM(1, 128, batch_first=True)
+            self.e2 = tnn.LSTM(128, 64, batch_first=True)
+            self.e3 = tnn.LSTM(64, 4, batch_first=True)
+            self.d1 = tnn.LSTM(4, 64, batch_first=True)
+            self.d2 = tnn.LSTM(64, 128, batch_first=True)
+            self.d3 = tnn.LSTM(128, 1, batch_first=True)
+            self.lin = tnn.Linear(1, 1)
+
+        def forward(self, x):
+            h, _ = self.e1(x)
+            h, _ = self.e2(h)
+            _, (hn, _) = self.e3(h)
+            rep = hn[-1].unsqueeze(1).repeat(1, x.size(1), 1)
+            h, _ = self.d1(rep)
+            h, _ = self.d2(h)
+            h, _ = self.d3(h)
+            return self.lin(h)
+
+    tm = Oracle().train()
+    for mod, name in [
+        (tm.e1, "enc1"), (tm.e2, "enc2"), (tm.e3, "enc3"),
+        (tm.d1, "dec1"), (tm.d2, "dec2"), (tm.d3, "dec3"),
+    ]:
+        mod.weight_ih_l0.data = torch.tensor(np.asarray(params[name]["w_ih"]))
+        mod.weight_hh_l0.data = torch.tensor(np.asarray(params[name]["w_hh"]))
+        mod.bias_ih_l0.data = torch.tensor(np.asarray(params[name]["b_ih"]))
+        mod.bias_hh_l0.data = torch.tensor(np.asarray(params[name]["b_hh"]))
+    tm.lin.weight.data = torch.tensor(np.asarray(params["out"]["w"]))
+    tm.lin.bias.data = torch.tensor(np.asarray(params["out"]["b"]))
+
+    opt = torch.optim.Adam(tm.parameters(), lr=1e-3)
+    crit = tnn.MSELoss()
+    torch_losses = []
+    for b in batches:
+        x = torch.tensor(b)
+        opt.zero_grad()
+        loss = crit(tm(x), x)
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss))
+
+    from ae_waveforms_tpu.train.optimizers import make_optimizer
+
+    optax_opt = make_optimizer("adam", 1e-3)
+    opt_state = optax_opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x):
+        def loss_fn(p):
+            pred = lstm_ae.forward(p, x, train=False)
+            return jnp.mean((pred - x) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optax_opt.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    jax_losses = []
+    p = params
+    for b in batches:
+        p, opt_state, loss = step(p, opt_state, jnp.asarray(b))
+        jax_losses.append(float(loss))
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=5e-4, atol=5e-5)
