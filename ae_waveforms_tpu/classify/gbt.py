@@ -252,6 +252,39 @@ def predict_margin_multi(ens: GBTEnsemble, bins: jnp.ndarray, max_depth: int) ->
     return jax.vmap(lambda e: predict_margin(e, bins, max_depth))(ens)
 
 
+@functools.partial(jax.jit, static_argnames=("max_depth", "n_estimators", "n_bins"))
+def fit_gbt_sweep(
+    bins: jnp.ndarray,  # (n, F) shared pre-binned pool
+    y: jnp.ndarray,  # (n,)
+    row_weights: jnp.ndarray,  # (S, n) per-fit row masks
+    rngs: jnp.ndarray,  # (S, 2)
+    learning_rates: jnp.ndarray,  # (S,)
+    gammas: jnp.ndarray,  # (S,)
+    min_child_weights: jnp.ndarray,  # (S,)
+    subsamples: jnp.ndarray,  # (S,)
+    colsamples: jnp.ndarray,  # (S,)
+    n_actives: jnp.ndarray,  # (S,) int32
+    max_depth: int,
+    n_estimators: int,
+    n_bins: int = N_BINS,
+) -> GBTEnsemble:
+    """Hyperparameter-sweep fit: every continuous hyperparameter is traced,
+    so one compilation per (max_depth, tree cap) serves the whole LHS grid —
+    candidates x CV folds all fit in a single vmapped device program."""
+
+    def one(w, k, lr, g, mcw, sub, col, n_act):
+        return fit_gbt(
+            bins, y, w, k,
+            max_depth=max_depth, n_estimators=n_estimators, learning_rate=lr,
+            gamma=g, min_child_weight=mcw, subsample=sub, colsample_bytree=col,
+            n_bins=n_bins, n_active=n_act,
+        )
+
+    return jax.vmap(one)(
+        row_weights, rngs, learning_rates, gammas, min_child_weights, subsamples, colsamples, n_actives
+    )
+
+
 class GBTClassifier:
     """sklearn/xgboost-style wrapper over the jitted kernels."""
 

@@ -51,3 +51,18 @@ def test_vectorized_harness_close_to_sequential():
     # same task, slightly different binning/subsample RNG -> close medians
     assert abs(seq[0]["median_auc"] - vec[0]["median_auc"]) < 0.05
     assert vec[0]["median_auc"] > 0.85
+
+
+def test_vectorized_grid_search_agrees_with_sequential():
+    from ae_waveforms_tpu.classify.harness import grid_search_cv
+
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((400, 6)).astype(np.float32)
+    y = (X[:, 0] + 0.6 * X[:, 1] + 0.4 * rng.standard_normal(400) > 0).astype(float)
+
+    seq = grid_search_cv(X, y, n_candidates=6, cv=3, random_state=1)
+    vec = grid_search_cv(X, y, n_candidates=6, cv=3, random_state=1, vectorized=True)
+    # same candidate list and fold split; binning/subsample streams differ
+    # slightly, so require agreement on score quality, not identity
+    assert abs(seq["best_score"] - vec["best_score"]) < 0.05
+    assert vec["best_score"] > 0.7
