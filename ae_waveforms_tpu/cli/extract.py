@@ -35,6 +35,8 @@ def main(argv=None):
     p.add_argument("--duration", type=float, default=120.0, help="synthetic record seconds")
     p.add_argument("--precision", type=str, default="float64", choices=["float32", "float64"])
     p.add_argument("--no-cache", action="store_true")
+    p.add_argument("--batched", action="store_true",
+                   help="pool windows across cases into large device batches")
     args = p.parse_args(argv)
 
     cfg = ExtractionConfig(path_data=args.out, precision=args.precision)
@@ -55,7 +57,8 @@ def main(argv=None):
         loader = lambda cid: synthetic_ecg_record(duration_s=args.duration, seed=int(cid))  # noqa: E731
 
     t0 = time.time()
-    results = extract_cases(case_ids, loader, cfg, cache_dir=cache_dir, progress=True)
+    results = extract_cases(case_ids, loader, cfg, cache_dir=cache_dir, progress=True,
+                            batched=args.batched)
     arrays = build_arrays(results)
     save_arrays(arrays, args.out, allow_pickle=cfg.use_pickle)
 

@@ -215,9 +215,18 @@ def extract_cases(
     cfg: ExtractionConfig,
     cache_dir: Optional[str] = None,
     progress: bool = False,
+    batched: bool = False,
+    windows_per_batch: int = 512,
 ) -> List[CaseResult]:
     """Extract a set of cases.  ``record_loader`` abstracts VitalDB/network
-    vs. synthetic/file-based sources (reference: load_record.py)."""
+    vs. synthetic/file-based sources (reference: load_record.py).
+
+    ``batched=True`` pools windows across cases into large device batches
+    (``windows_per_batch``) before the per-window kernels — amortising kernel
+    launches over many cases, the right shape for co-located TPU hosts.
+    """
+    if batched:
+        return extract_cases_batched(case_ids, record_loader, cfg, cache_dir, progress, windows_per_batch)
     results = []
     it = case_ids
     if progress:
@@ -235,4 +244,114 @@ def extract_cases(
         if record is None:
             continue
         results.append(extract_case(cid, record, cfg, cache_dir))
+    return results
+
+
+def _windows_of_case(cid: int, record: np.ndarray, cfg: ExtractionConfig):
+    rec = preprocess_record(record, cfg)
+    samples, indices = segment_record(rec, cfg.sampling_frequency, cfg.sample_length)
+    if len(samples):
+        with np.errstate(all="ignore"):
+            mu = np.nanmean(samples, axis=1, keepdims=True)
+            sd = np.nanstd(samples, axis=1, keepdims=True)
+            samples = (samples - mu) / sd
+    return samples, indices.reshape(-1)
+
+
+def extract_cases_batched(
+    case_ids: Sequence[int],
+    record_loader: Callable[[int], Optional[np.ndarray]],
+    cfg: ExtractionConfig,
+    cache_dir: Optional[str] = None,
+    progress: bool = False,
+    windows_per_batch: int = 512,
+) -> List[CaseResult]:
+    """Cross-case batched pipeline: host preprocessing/segmentation per
+    record, then the per-window kernels (R peaks, QC, median beats,
+    delineation+features) run over pooled window batches."""
+    results: List[CaseResult] = []
+    pending: List[tuple] = []  # (cid, samples, indices)
+    n_windows = 0
+
+    def flush():
+        nonlocal pending, n_windows
+        if not pending:
+            return
+        all_samples = np.concatenate([s for _, s, _ in pending], axis=0)
+        spans = np.cumsum([0] + [len(s) for _, s, _ in pending])
+
+        samples_f32, n_real = _pad_batch(all_samples.astype(np.float32))
+        peaks, n_peaks = find_rpeaks_batch(samples_f32, cfg.sampling_frequency)
+        keep = qc_mask(
+            samples_f32, peaks, n_peaks, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg
+        )
+        peaks = np.asarray(peaks)[:n_real]
+        n_peaks = np.asarray(n_peaks)[:n_real]
+        keep = np.asarray(keep)[:n_real]
+
+        kept = all_samples[keep]
+        kept_peaks, kept_n = peaks[keep], n_peaks[keep]
+        kept_f32, n_kept = _pad_batch(kept.astype(np.float32))[0], len(kept)
+        peaks_p, _ = _pad_batch(kept_peaks)
+        n_peaks_p, _ = _pad_batch(kept_n)
+        medians = np.asarray(median_beat_batch(kept_f32, peaks_p, n_peaks_p))[:n_kept]
+
+        if cfg.delineation_engine == "device" and n_kept:
+            from ae_waveforms_tpu.signals.delineate_jax import delineate_batch
+            from ae_waveforms_tpu.signals.features_jax import feature_rows_batch
+
+            fiducials = delineate_batch(kept_f32, peaks_p, n_peaks_p, cfg.sampling_frequency)
+            rows = np.asarray(
+                feature_rows_batch(kept_f32, peaks_p, n_peaks_p, fiducials, cfg.sampling_frequency)
+            )[:n_kept]
+            valid = kept_n > 0
+        else:
+            peak_lists = [list(map(int, p[:k])) for p, k in zip(kept_peaks, kept_n)]
+            rows, valid = _feature_rows(kept, peak_lists, cfg, peaks_padded=kept_peaks, n_peaks=kept_n)
+
+        # split back per case: kept-window index within each case span
+        kept_case = np.repeat(np.arange(len(pending)), np.diff(spans))[keep]
+        for ci, (cid, samples, indices) in enumerate(pending):
+            sel = kept_case == ci
+            v = valid[sel]
+            res = CaseResult(
+                case_id=cid,
+                waves=medians[sel][v].astype(np.float32),
+                features=rows[sel][v],
+                indices=indices[keep[spans[ci] : spans[ci + 1]]][v],
+                n_windows_raw=len(samples),
+            )
+            if cache_dir is not None:
+                _save_case(cache_dir, cid, res)
+            results.append(res)
+        pending = []
+        n_windows = 0
+
+    it = case_ids
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            it = tqdm(case_ids)
+        except ImportError:
+            pass
+    for cid in it:
+        if cache_dir is not None and os.path.exists(os.path.join(cache_dir, f"{cid}.npz")):
+            results.append(extract_case(cid, None, cfg, cache_dir))
+            continue
+        record = record_loader(cid)
+        if record is None:
+            continue
+        samples, indices = _windows_of_case(cid, record, cfg)
+        if len(samples) == 0:
+            res = CaseResult(cid, np.zeros((0, 320), np.float32), np.zeros((0, 35)), np.zeros((0,)), 0)
+            if cache_dir is not None:
+                _save_case(cache_dir, cid, res)
+            results.append(res)
+            continue
+        pending.append((cid, samples, indices))
+        n_windows += len(samples)
+        if n_windows >= windows_per_batch:
+            flush()
+    flush()
     return results

@@ -71,3 +71,21 @@ def test_save_load_roundtrip(tmp_path):
     back = load_arrays(str(tmp_path))
     np.testing.assert_allclose(back.waves, arrays.waves)
     np.testing.assert_allclose(back.features, arrays.features)
+
+
+def test_batched_extraction_matches_per_case():
+    """Cross-case batched extraction must produce identical arrays to the
+    per-case path (device kernels are per-window independent)."""
+    cfg = _cfg()
+    loader = lambda cid: synthetic_ecg_record(duration_s=45.0, seed=100 + cid)  # noqa: E731
+    ids = [1, 2, 3, 4]
+    per_case = extract_cases(ids, loader, cfg)
+    batched = extract_cases(ids, loader, cfg, batched=True, windows_per_batch=3)
+    assert len(per_case) == len(batched)
+    for a, b in zip(per_case, batched):
+        assert a.case_id == b.case_id
+        np.testing.assert_allclose(a.waves, b.waves, atol=1e-6)
+        mask = ~(np.isnan(a.features) & np.isnan(b.features))
+        np.testing.assert_allclose(a.features[mask], b.features[mask], atol=1e-9)
+        np.testing.assert_array_equal(a.indices, b.indices)
+        assert a.n_windows_raw == b.n_windows_raw
