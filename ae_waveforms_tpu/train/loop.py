@@ -134,6 +134,16 @@ def make_validator(mdef, loss_kind: str, mesh):
     return validate
 
 
+def effective_epochs(cfg: TrainConfig, n_train: int) -> int:
+    """Epoch count, rescaled when training on a case-id subsample so the
+    total step budget targets ~228,543 samples (run_train.py:472 quirk —
+    note the upstream formula divides the target by steps-per-epoch, i.e.
+    the units are 'samples over batches', preserved as-is)."""
+    if cfg.nr_train_ids > 0:
+        return int(np.ceil(cfg.target_train_samples / (n_train / cfg.batch_size)))
+    return cfg.epochs
+
+
 def _batched_indices(n: int, batch: int, perm: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Pad a permutation to full batches; returns (steps, B) indices + mask."""
     steps = math.ceil(n / batch)
@@ -198,10 +208,8 @@ def main_train(
     )
     logger.info(f"Data loading done. Length of Data: {len(arrays)} samples")
 
-    epochs = cfg.epochs
     n_train = int(tr_mask.sum())
-    if cfg.nr_train_ids > 0:
-        epochs = int(np.ceil(cfg.target_train_samples / (n_train / cfg.batch_size)))
+    epochs = effective_epochs(cfg, n_train)
 
     x_all = layout_waves(np.asarray(arrays.waves, np.float32), mdef.channel_first)
     train_x = jax.device_put(x_all[tr_mask], NamedSharding(mesh, P()))

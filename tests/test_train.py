@@ -180,3 +180,14 @@ def test_train_lstm_smoke(tmp_path):
 
     results_dir = main_train(cfg, arrays=arrays, max_steps=6)
     assert os.path.isfile(os.path.join(results_dir, "model_autoencoder.npz"))
+
+
+def test_effective_epochs_rescale():
+    """nr_train_ids > 0 rescales epochs to the 228,543-sample step budget
+    (run_train.py:472 formula, preserved verbatim)."""
+    from ae_waveforms_tpu.train.loop import effective_epochs
+
+    cfg = TrainConfig(epochs=10, nr_train_ids=0)
+    assert effective_epochs(cfg, 5000) == 10
+    cfg2 = TrainConfig(epochs=10, nr_train_ids=50, batch_size=128)
+    assert effective_epochs(cfg2, 5000) == int(np.ceil(228543 / (5000 / 128)))
