@@ -56,6 +56,7 @@ def split_datasets(
             chosen = unique_ids[assignment == s]
             masks[s] = np.isin(case_ids, chosen)
         stamp = time.strftime("%y%m%d")
+        os.makedirs(dataset_dir, exist_ok=True)
         for s in masks:
             np.save(os.path.join(dataset_dir, f"indices_{s}_{stamp}"), masks[s])
 

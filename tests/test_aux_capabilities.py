@@ -103,3 +103,31 @@ def test_load_env_file(tmp_path, monkeypatch):
     vals = load_env_file(str(p))
     assert vals["DATA_FOLDER_PATH"] == "/some/path"
     assert os.environ["NPT_PROJECT"] == "me/proj"
+
+
+def test_split_cache_reuse(tmp_path):
+    """Split masks cached in the dataset dir are reused on later runs even
+    under a different RNG state (load_data.py:113-131 behaviour)."""
+    from ae_waveforms_tpu.train.data import split_datasets
+
+    info = np.stack([np.repeat(np.arange(30), 4), np.zeros(120)], axis=1).astype(float)
+    np.random.seed(1)
+    tr1, va1, te1 = split_datasets(info, str(tmp_path))
+    np.random.seed(999)  # different state: cached masks must win
+    tr2, va2, te2 = split_datasets(info, str(tmp_path))
+    np.testing.assert_array_equal(tr1, tr2)
+    np.testing.assert_array_equal(va1, va2)
+    np.testing.assert_array_equal(te1, te2)
+
+
+def test_split_nr_train_ids_subsample(tmp_path):
+    from ae_waveforms_tpu.train.data import split_datasets
+
+    info = np.stack([np.repeat(np.arange(40), 3), np.zeros(120)], axis=1).astype(float)
+    np.random.seed(2)
+    tr_full, _, _ = split_datasets(info, str(tmp_path / "a"))
+    np.random.seed(2)
+    tr_sub, _, _ = split_datasets(info, str(tmp_path / "b"), nr_train_ids=5)
+    # the subsample restricts training rows to at most 5 case ids
+    assert len(np.unique(info[tr_sub][:, 0])) <= 5
+    assert tr_sub.sum() <= tr_full.sum()
