@@ -254,7 +254,13 @@ def main_train(
     for epoch in range(1, epochs + 1):
         t_epoch = time.time()
         tracker.log("epoch", epoch)
-        perm = np.random.permutation(n_train).astype(np.int32)
+        # train_shuffle=False iterates in dataset order (DataLoader semantics);
+        # val order never matters for the loss (reference default val_shuffle=False)
+        perm = (
+            np.random.permutation(n_train).astype(np.int32)
+            if cfg.train_shuffle
+            else np.arange(n_train, dtype=np.int32)
+        )
         idx_all, mask_all = _batched_indices(n_train, cfg.batch_size, perm)
 
         # chunk layout replicating "validate after local step 0, V, 2V, ...":
