@@ -209,6 +209,35 @@ def _save_case(cache_dir: str, case_id: int, r: CaseResult) -> None:
     )
 
 
+def _prefetching_loader(record_loader: Callable, case_ids: Sequence[int], depth: int = 2):
+    """Background-thread record prefetch: overlaps the (network/disk) record
+    fetch with device compute — the TPU-era counterpart of the reference's
+    ``mp.Pool`` preprocessing fan-out (data_extract_vitaldb.py:194-199,
+    gated by cfg.parallel_preprocessing)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+    def worker():
+        for cid in case_ids:
+            q.put((cid, record_loader(cid)))
+        q.put(None)
+
+    threading.Thread(target=worker, daemon=True).start()
+    cache = {}
+
+    def fetch(cid):
+        while cid not in cache:
+            item = q.get()
+            if item is None:
+                return None
+            cache[item[0]] = item[1]
+        return cache.pop(cid)
+
+    return fetch
+
+
 def extract_cases(
     case_ids: Sequence[int],
     record_loader: Callable[[int], Optional[np.ndarray]],
@@ -224,7 +253,16 @@ def extract_cases(
     ``batched=True`` pools windows across cases into large device batches
     (``windows_per_batch``) before the per-window kernels — amortising kernel
     launches over many cases, the right shape for co-located TPU hosts.
+
+    ``cfg.parallel_preprocessing`` prefetches records on a background thread
+    so I/O overlaps device compute.
     """
+    if cfg.parallel_preprocessing:
+        uncached = [
+            cid for cid in case_ids
+            if cache_dir is None or not os.path.exists(os.path.join(cache_dir, f"{cid}.npz"))
+        ]
+        record_loader = _prefetching_loader(record_loader, uncached)
     if batched:
         return extract_cases_batched(case_ids, record_loader, cfg, cache_dir, progress, windows_per_batch)
     results = []

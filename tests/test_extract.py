@@ -89,3 +89,15 @@ def test_batched_extraction_matches_per_case():
         np.testing.assert_allclose(a.features[mask], b.features[mask], atol=1e-9)
         np.testing.assert_array_equal(a.indices, b.indices)
         assert a.n_windows_raw == b.n_windows_raw
+
+
+def test_parallel_preprocessing_prefetch():
+    """Background prefetch produces identical results to the plain loader."""
+    cfg_seq = _cfg()
+    cfg_par = ExtractionConfig(precision="float64", parallel_preprocessing=True)
+    loader = lambda cid: synthetic_ecg_record(duration_s=45.0, seed=200 + cid)  # noqa: E731
+    a = extract_cases([1, 2, 3], loader, cfg_seq)
+    b = extract_cases([1, 2, 3], loader, cfg_par)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x.waves, y.waves, atol=1e-9)
+        np.testing.assert_array_equal(x.indices, y.indices)
