@@ -117,6 +117,11 @@ def grid_search_cv(
             best_score, best_params = s, p
         if verbose and (i + 1) % 50 == 0:
             print(f"grid search {i + 1}/{len(params)}: best AUC {best_score:.4f}")
+    if best_params is None:
+        raise ValueError(
+            "no candidate produced a finite CV score — dataset too small for "
+            f"{cv}-fold CV (n={len(y)})"
+        )
     return {"best_params": best_params, "best_score": best_score}
 
 

@@ -209,12 +209,18 @@ def main_train(
     logger.info(f"Data loading done. Length of Data: {len(arrays)} samples")
 
     n_train = int(tr_mask.sum())
+    n_val = int(va_mask.sum())
+    if n_train == 0 or n_val == 0:
+        raise ValueError(
+            f"empty split (train={n_train}, val={int(va_mask.sum())}, test={int(te_mask.sum())}): "
+            "with few case ids the seeded patient-level draw can leave a split empty — "
+            "increase the dataset, adjust split fractions, or change the seed"
+        )
     epochs = effective_epochs(cfg, n_train)
 
     x_all = layout_waves(np.asarray(arrays.waves, np.float32), mdef.channel_first)
     train_x = jax.device_put(x_all[tr_mask], NamedSharding(mesh, P()))
     val_x = jax.device_put(x_all[va_mask], NamedSharding(mesh, P()))
-    n_val = int(va_mask.sum())
 
     optimizer = make_optimizer(
         cfg.optimizer_type,

@@ -74,14 +74,16 @@ def main():
     from ae_waveforms_tpu.classify.harness import grid_search_cv, ppv_analysis, prepare_class_data
 
     rng = np.random.default_rng(0)
-    n = len(latents)
-    control = latents + 0.05 * rng.standard_normal(latents.shape)
-    sick = latents + 0.6 + 0.05 * rng.standard_normal(latents.shape)
-    data = prepare_class_data(control, sick, test_size=max(4, n // 4))
+    # amplify the handful of exported latents into two synthetic cohorts
+    reps = max(1, 200 // max(len(latents), 1))
+    base = np.tile(latents, (reps, 1))
+    control = base + 0.05 * rng.standard_normal(base.shape)
+    sick = base + 0.6 + 0.05 * rng.standard_normal(base.shape)
+    data = prepare_class_data(control, sick, test_size=max(8, len(base) // 4))
     X = np.concatenate([data.control_train, data.sick_train])
     y = np.concatenate([np.zeros(len(data.control_train)), np.ones(len(data.sick_train))])
     gs = grid_search_cv(X, y, n_candidates=4, cv=2, random_state=1)
-    ppv_analysis(data, gs["best_params"], size=min(32, len(data.control_train)), n_seeds=3)
+    ppv_analysis(data, gs["best_params"], size=min(64, len(data.control_train)), n_seeds=3)
 
     print(f"\nE2E done in {time.time() - t0:.1f}s  (AE test rmse {rmse:.4f}, prd {prd:.2f}%)")
 
