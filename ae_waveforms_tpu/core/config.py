@@ -130,7 +130,10 @@ class TrainConfig:
 
     # TPU-native knobs
     data_axis: str = "data"  # mesh axis for batch sharding
-    compute_dtype: str = "float32"
+    # matmul precision: "default" = hardware default (bf16 multiplies on TPU,
+    # the fast path), "float32" = full f32 matmuls (parity-checking mode),
+    # mirroring the reference's scaffolded-but-off AMP (run_train.py:24-27)
+    compute_dtype: str = "default"
     tracker: Optional[str] = None  # pluggable experiment tracker ("csv" always on)
 
     def replace(self, **kw) -> "TrainConfig":

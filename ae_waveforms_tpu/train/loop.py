@@ -173,6 +173,14 @@ def main_train(
     t_start = time.time()
     np.random.seed(cfg.seed)
 
+    import contextlib
+
+    precision_ctx = (
+        jax.default_matmul_precision(cfg.compute_dtype)
+        if cfg.compute_dtype not in ("default", None)
+        else contextlib.nullcontext()
+    )
+
     run_id = time.strftime("%y-%m-%d-%H%M%S")
     results_dir = os.path.join(cfg.results_dir, "networks_autoencoder", run_id)
     os.makedirs(results_dir, exist_ok=True)
@@ -257,6 +265,8 @@ def main_train(
 
     logger.info(f"Start training with learning rate scheduler: {cfg.lr_scheduler_type}")
     V = cfg.validation_interval
+    stack = contextlib.ExitStack()
+    stack.enter_context(precision_ctx)
     for epoch in range(1, epochs + 1):
         t_epoch = time.time()
         tracker.log("epoch", epoch)
@@ -338,6 +348,7 @@ def main_train(
         )
         if early_stop:
             break
+    stack.close()
 
     # final model: best params if any, else current (run_train.py:537-538)
     if best_path is not None:

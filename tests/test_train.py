@@ -191,3 +191,20 @@ def test_effective_epochs_rescale():
     assert effective_epochs(cfg, 5000) == 10
     cfg2 = TrainConfig(epochs=10, nr_train_ids=50, batch_size=128)
     assert effective_epochs(cfg2, 5000) == int(np.ceil(228543 / (5000 / 128)))
+
+
+def test_compute_dtype_flag(tmp_path):
+    """compute_dtype='float32' runs under full-precision matmuls (smoke)."""
+    arrays = _toy_arrays(n=120, n_cases=20)
+    dataset_dir = str(tmp_path / "data")
+    save_arrays(arrays, dataset_dir)
+    cfg = TrainConfig(
+        dataset_dir=dataset_dir, results_dir=str(tmp_path / "results"),
+        model_class="LeNet5AutoencoderAvgPool", latent_size=4, batch_size=16,
+        epochs=1, validation_interval=2, split_size_val=0.25, split_size_test=0.25,
+        seed=1, plotting=False, compute_dtype="float32",
+    )
+    from ae_waveforms_tpu.train.loop import main_train
+
+    run = main_train(cfg, arrays=arrays, max_steps=4)
+    assert os.path.isdir(run)
