@@ -158,3 +158,25 @@ def test_gp_minimize_runs_and_improves():
 
     best_map, best = sweep_search(objective, n_candidates=128, seed=0, x0=SIGMA_MAP_X0)
     assert best <= res.fun + 1e-6 or best < 1e-4  # the sweep should do at least as well
+
+
+def test_spline_alternatives():
+    from ae_waveforms_tpu.traditional.reconstruction import (
+        reconstruct_akima,
+        reconstruct_akima_pchip_mean,
+        reconstruct_pchip,
+    )
+
+    rng = np.random.default_rng(1)
+    x, y = _sample_fiducials(rng, with_nans=1)
+    baseline = float(np.nanmean(y[[1, 2, 8, 10]]))
+    ak = reconstruct_akima(x, y, X_TIME, baseline)
+    pc = reconstruct_pchip(x, y, X_TIME, baseline)
+    assert ak.shape == pc.shape == X_TIME.shape
+    # interpolants pass through the anchors (sample an interior fiducial)
+    xi = x[~np.isnan(x)]
+    yi = y[~np.isnan(x)]
+    k = np.argmin(np.abs(X_TIME - xi[3]))
+    assert abs(pc[k] - yi[3]) < 0.2  # pchip is shape-preserving near anchors
+    mean = reconstruct_akima_pchip_mean(ak, pc)
+    np.testing.assert_allclose(mean, (ak + pc) / 2)
