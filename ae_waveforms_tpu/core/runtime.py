@@ -12,10 +12,20 @@ _DEFAULT_CACHE = os.path.expanduser("~/.cache/ae_waveforms_tpu/jax")
 def enable_compilation_cache(path: str | None = None) -> str:
     """Turn on JAX's persistent compilation cache so cold CLI processes and
     benchmark runs reuse compiled programs across invocations (single-core
-    hosts pay minutes per cold compile otherwise)."""
+    hosts pay minutes per cold compile otherwise).
+
+    The cache is partitioned per backend and per compile context (the axon
+    relay compiles XLA:CPU with different target-feature flags than a local
+    build; mixing the entries triggers machine-feature mismatch warnings)."""
     import jax
 
-    cache_dir = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT_CACHE)
+    base = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT_CACHE)
+    ctx = "axon" if os.environ.get("PALLAS_AXON_POOL_IPS") else "local"
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "unknown"
+    cache_dir = os.path.join(base, f"{backend}-{ctx}")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
