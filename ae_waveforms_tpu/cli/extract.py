@@ -39,11 +39,23 @@ def main(argv=None):
     p.add_argument("--no-cache", action="store_true")
     p.add_argument("--batched", action="store_true",
                    help="pool windows across cases into large device batches")
+    p.add_argument("--from-parquet", type=str, default=None,
+                   help="skip extraction: build the arrays from a directory of "
+                        "reference-format per-case parquet files")
     args = p.parse_args(argv)
 
     cfg = ExtractionConfig(path_data=args.out, precision=args.precision,
                            delineation_engine=args.engine)
     os.makedirs(args.out, exist_ok=True)
+
+    if args.from_parquet:
+        from ae_waveforms_tpu.data.parquet_compat import arrays_from_reference_cache
+
+        arrays = arrays_from_reference_cache(args.from_parquet)
+        save_arrays(arrays, args.out, allow_pickle=cfg.use_pickle)
+        print(f"converted {len(arrays)} samples from reference parquet cache "
+              f"{args.from_parquet} -> {args.out}")
+        return
     cache_dir = None if args.no_cache else os.path.join(args.out, "case_ids")
 
     if args.case_ids is not None:
