@@ -30,6 +30,9 @@ ANALYSIS_RATE = 2000
 W = 1280  # fixed search-window length (>= the longest 0.6 s onset window)
 BIG = 10**9
 
+# the longest search window is the 0.6 s T-onset lookback at the analysis rate
+assert W >= int(0.6 * ANALYSIS_RATE), "W must cover the T-onset search window"
+
 
 def _resample4(x: jnp.ndarray) -> jnp.ndarray:
     """Linear resample by exactly 4x (500 Hz -> 2000 Hz), matching
