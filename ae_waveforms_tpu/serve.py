@@ -61,12 +61,21 @@ class Scorer:
         self.gbt = classifier
         return self
 
-    def score(self, waves: np.ndarray) -> Dict[str, np.ndarray]:
+    def score(self, waves: np.ndarray, bucket: int = 64) -> Dict[str, np.ndarray]:
         """waves: (B, 320) raw median beats -> dict with reconstruction,
-        latents, rmse, prd and (if attached) probability."""
+        latents, rmse, prd and (if attached) probability.
+
+        Batches are padded to ``bucket`` multiples so serving compiles once
+        per bucket instead of once per request size."""
         channel_first = MODEL_REGISTRY[self.model_class].channel_first
-        x = jnp.asarray(layout_waves(np.asarray(waves, np.float32), channel_first))
+        waves = np.asarray(waves, np.float32)
+        n = len(waves)
+        target = max(bucket, ((n + bucket - 1) // bucket) * bucket)
+        if target != n:
+            waves = np.concatenate([waves, np.zeros((target - n, waves.shape[1]), np.float32)])
+        x = jnp.asarray(layout_waves(waves, channel_first))
         pred, z, rmse, prd = _score_batch(self.params, x, self.model_class)
+        pred, z, rmse, prd = pred[:n], z[:n], rmse[:n], prd[:n]
         out = {
             "reconstruction": np.asarray(pred),
             "latents": np.asarray(z),

@@ -51,3 +51,31 @@ def test_scorer_from_run(tmp_path):
     scorer = Scorer.from_run(cfg.results_dir, os.path.basename(run_dir), cfg)
     out = scorer.score(arrays.waves[:8])
     assert out["latents"].shape == (8, 4)
+
+
+def test_scorer_bucketing_consistent():
+    """Different request sizes share compiled buckets and return trimmed,
+    size-correct results."""
+    import jax
+
+    from ae_waveforms_tpu.models import conv_ae
+
+    params = conv_ae.init(jax.random.PRNGKey(1), 4)
+    scorer = Scorer(params=params, model_class="LeNet5AutoencoderAvgPool")
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((70, 320)).astype(np.float32)
+    a = scorer.score(w[:5], bucket=16)
+    b = scorer.score(w, bucket=16)
+    assert a["latents"].shape == (5, 4) and b["latents"].shape == (70, 4)
+    np.testing.assert_allclose(a["latents"], b["latents"][:5], atol=1e-6)
+
+
+def test_mimic_adapter_gates_cleanly():
+    from ae_waveforms_tpu.data.mimic_io import have_wfdb, make_mimic_loader
+
+    if have_wfdb():
+        return  # environment has the client; loader construction succeeds
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        make_mimic_loader(["/nonexistent"])
