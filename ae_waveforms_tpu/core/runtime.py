@@ -19,8 +19,14 @@ def enable_compilation_cache(path: str | None = None) -> str:
     build; mixing the entries triggers machine-feature mismatch warnings)."""
     import jax
 
+    import hashlib
+
     base = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT_CACHE)
+    # context key: axon presence + XLA flags (both change XLA:CPU target
+    # features; mixing entries triggers machine-feature mismatch warnings)
+    flags = os.environ.get("XLA_FLAGS", "")
     ctx = "axon" if os.environ.get("PALLAS_AXON_POOL_IPS") else "local"
+    ctx += "-" + hashlib.sha1(flags.encode()).hexdigest()[:6]
     try:
         backend = jax.default_backend()
     except Exception:

@@ -46,10 +46,9 @@ def test_batch_matches_host_reference():
                     if abs(a - b) <= 1:  # f32-vs-f64 threshold flip tolerance
                         close += 1
     assert total > 100
-    # float32 device arithmetic may flip an occasional threshold crossing by
-    # one analysis sample; indices must otherwise agree
-    assert close / total >= 0.97, (exact, close, total)
-    assert exact / total >= 0.85, (exact, close, total)
+    # after the extended-buffer DWT fix the device delineator is index-exact
+    # on this set; small headroom kept for float32 threshold flips on other data
+    assert exact / total >= 0.995, (exact, close, total)
 
 
 def test_shapes_and_padding():
