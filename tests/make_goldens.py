@@ -36,6 +36,9 @@ def build():
     # per-case pipeline goldens
     rec = synthetic_ecg_record(duration_s=85.0, seed=1234)
     case = extract_case(1, rec, cfg)
+    # NaN-gap record (exercises segment-split filtering + window drops)
+    rec_gap = synthetic_ecg_record(duration_s=85.0, seed=4321, nan_gaps=2)
+    case_gap = extract_case(2, rec_gap, cfg)
 
     # window-level delineation goldens
     rec2 = synthetic_ecg_record(duration_s=22.0, seed=77)
@@ -52,6 +55,9 @@ def build():
         waves=case.waves,
         features=case.features,
         indices=case.indices,
+        gap_waves=case_gap.waves,
+        gap_features=case_gap.features,
+        gap_indices=case_gap.indices,
         window=win,
         peaks=np.asarray(plist),
         **{f"fid_{k}": np.asarray(fid[k], float) for k in FIDUCIAL_NAMES},

@@ -32,6 +32,20 @@ def test_case_pipeline_matches_golden():
     np.testing.assert_array_equal(case.indices, z["indices"])
 
 
+def test_nan_gap_case_matches_golden():
+    from ae_waveforms_tpu.core.config import ExtractionConfig
+    from ae_waveforms_tpu.data.extract import extract_case
+    from ae_waveforms_tpu.data.synthetic import synthetic_ecg_record
+
+    z = _load()
+    if "gap_waves" not in z.files:
+        pytest.skip("golden predates the NaN-gap case")
+    rec = synthetic_ecg_record(duration_s=85.0, seed=4321, nan_gaps=2)
+    case = extract_case(2, rec, ExtractionConfig(precision="float64", delineation_engine="host"))
+    np.testing.assert_allclose(case.waves, z["gap_waves"], atol=1e-6)
+    np.testing.assert_array_equal(case.indices, z["gap_indices"])
+
+
 def test_host_delineator_matches_golden_fiducials():
     from ae_waveforms_tpu.core.schema import FIDUCIAL_NAMES
     from ae_waveforms_tpu.signals.delineate import delineate
