@@ -74,13 +74,13 @@ def test_dl_classifier_smoke():
     from ae_waveforms_tpu.classify.dl import dl_size_seed_sweep
 
     rng = np.random.default_rng(0)
-    t = np.linspace(-1, 2, 320)
+    t = np.linspace(-1, 2, 96)  # short sequences keep the LSTM scans fast
     base = np.exp(-(t**2) / 0.02)
-    control = base[None, :] + 0.05 * rng.standard_normal((80, 320))
-    sick = 1.5 * base[None, :] + 0.05 * rng.standard_normal((80, 320))
+    control = base[None, :] + 0.05 * rng.standard_normal((80, 96))
+    sick = 1.5 * base[None, :] + 0.05 * rng.standard_normal((80, 96))
     summary = dl_size_seed_sweep(
         control.astype(np.float32), sick.astype(np.float32),
-        sizes=[24], n_seeds=2, num_epochs=4, test_size=30,
+        sizes=[24], n_seeds=2, num_epochs=3, test_size=30,
     )
     assert len(summary) == 1
     assert summary[0]["median_auc"] > 0.6  # separable amplitudes
