@@ -80,15 +80,25 @@ def fit_gbt(
     colsample_bytree: float = 1.0,
     n_bins: int = N_BINS,
     n_active=None,
+    depth_limit=None,
 ) -> GBTEnsemble:
     """``n_active`` (traced, defaults to n_estimators) masks trees beyond it
     to no-ops: a hyperparameter sweep can fix ``n_estimators`` at the grid
-    cap so one compilation per depth serves every candidate."""
+    cap so one compilation per depth serves every candidate.
+
+    ``depth_limit`` (traced, defaults to max_depth) masks splits at levels
+    >= limit — a depth-L fit inside a max_depth-D program partitions rows
+    identically to a native depth-L fit (unsplit rows descend the left
+    spine), so hyperparameter sweeps can bucket depths coarsely and compile
+    even fewer programs."""
     n, F = bins.shape
     max_nodes = 2**max_depth
     if n_active is None:
         n_active = n_estimators
     n_active = jnp.asarray(n_active, jnp.int32)
+    if depth_limit is None:
+        depth_limit = max_depth
+    depth_limit = jnp.asarray(depth_limit, jnp.int32)
 
     # static one-hot bin indicators: (n, F * n_bins)
     onehot = jax.nn.one_hot(bins + jnp.arange(F)[None, :] * n_bins, F * n_bins, dtype=jnp.float32)
@@ -146,7 +156,7 @@ def fit_gbt(
             flat = gain.reshape(n_nodes, F * n_bins)
             best = jnp.argmax(flat, axis=1)
             best_gain = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
-            do_split = best_gain > 0.0
+            do_split = (best_gain > 0.0) & (depth < depth_limit)
             bf = (best // n_bins).astype(jnp.int32)
             bb = (best % n_bins).astype(jnp.int32)
 
@@ -267,21 +277,26 @@ def fit_gbt_sweep(
     max_depth: int,
     n_estimators: int,
     n_bins: int = N_BINS,
+    depth_limits: jnp.ndarray = None,  # (S,) int32, defaults to max_depth
 ) -> GBTEnsemble:
-    """Hyperparameter-sweep fit: every continuous hyperparameter is traced,
-    so one compilation per (max_depth, tree cap) serves the whole LHS grid —
-    candidates x CV folds all fit in a single vmapped device program."""
+    """Hyperparameter-sweep fit: every continuous hyperparameter (and, via
+    ``depth_limits``, the effective tree depth) is traced, so one compilation
+    per (depth bucket, tree cap) serves the whole LHS grid — candidates x CV
+    folds all fit in a single vmapped device program."""
+    if depth_limits is None:
+        depth_limits = jnp.full(row_weights.shape[0], max_depth, jnp.int32)
 
-    def one(w, k, lr, g, mcw, sub, col, n_act):
+    def one(w, k, lr, g, mcw, sub, col, n_act, dl):
         return fit_gbt(
             bins, y, w, k,
             max_depth=max_depth, n_estimators=n_estimators, learning_rate=lr,
             gamma=g, min_child_weight=mcw, subsample=sub, colsample_bytree=col,
-            n_bins=n_bins, n_active=n_act,
+            n_bins=n_bins, n_active=n_act, depth_limit=dl,
         )
 
     return jax.vmap(one)(
-        row_weights, rngs, learning_rates, gammas, min_child_weights, subsamples, colsamples, n_actives
+        row_weights, rngs, learning_rates, gammas, min_child_weights, subsamples, colsamples,
+        n_actives, depth_limits,
     )
 
 

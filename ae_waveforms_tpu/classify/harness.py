@@ -149,10 +149,14 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
         fold_masks[f] = 1.0
         fold_masks[f, te] = 0.0  # held-out rows excluded from training
 
-    # group candidate indices by depth; each (depth) group compiles once
+    # group candidates into coarse depth buckets; depth itself is traced
+    # (depth_limits), so each bucket compiles once regardless of the mix
+    def bucket_of(d: int) -> int:
+        return 6 if d <= 6 else 10
+
     by_depth: Dict[int, List[int]] = {}
     for i, p in enumerate(params):
-        by_depth.setdefault(int(p["max_depth"]), []).append(i)
+        by_depth.setdefault(bucket_of(int(p["max_depth"])), []).append(i)
 
     mean_scores = np.zeros(len(params))
     done = 0
@@ -167,6 +171,7 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
             sb = np.zeros(S, np.float32)
             cl = np.zeros(S, np.float32)
             na = np.zeros(S, np.int32)
+            dl = np.zeros(S, np.int32)
             for j, ci in enumerate(chunk):
                 p = params[ci]
                 for f in range(cv):
@@ -178,11 +183,13 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
                     sb[s] = p["subsample"]
                     cl[s] = p["colsample_bytree"]
                     na[s] = p["n_estimators"]
+                    dl[s] = p["max_depth"]
             rngs = jax.vmap(jax.random.PRNGKey)(np.full(S, random_state, np.uint32))
             ens = fit_gbt_sweep(
                 bins, jnp.asarray(y_f), jnp.asarray(row_w), rngs,
                 jnp.asarray(lr), jnp.asarray(gm), jnp.asarray(mc), jnp.asarray(sb),
                 jnp.asarray(cl), jnp.asarray(na), max_depth=depth, n_estimators=cap,
+                depth_limits=jnp.asarray(dl),
             )
             margins = np.asarray(predict_margin_multi(ens, bins, depth))
             for j, ci in enumerate(chunk):

@@ -91,3 +91,25 @@ def test_estimator_cap_masks_extra_trees():
     m_exact = np.asarray(predict_margin(exact, bins, 3))
     m_capped = np.asarray(predict_margin(capped, bins, 3))
     np.testing.assert_allclose(m_capped, m_exact, atol=1e-5)
+
+
+def test_depth_limit_matches_native_depth():
+    """A depth-limited fit inside a deeper program is exactly the native
+    shallower fit (identical partitions and leaf values)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ae_waveforms_tpu.classify.gbt import bin_data, compute_bin_edges, fit_gbt, predict_margin
+
+    Xtr, Xte, ytr, yte = _task(n=400)
+    edges = compute_bin_edges(Xtr)
+    bins = bin_data(Xtr, edges)
+    w = np.ones(len(ytr), np.float32)
+    kw = dict(n_estimators=30, learning_rate=0.2)
+
+    native = fit_gbt(bins, jnp.asarray(ytr, jnp.float32), w, jax.random.PRNGKey(0), max_depth=3, **kw)
+    masked = fit_gbt(bins, jnp.asarray(ytr, jnp.float32), w, jax.random.PRNGKey(0),
+                     max_depth=6, depth_limit=3, **kw)
+    m_native = np.asarray(predict_margin(native, bins, 3))
+    m_masked = np.asarray(predict_margin(masked, bins, 6))
+    np.testing.assert_allclose(m_masked, m_native, atol=1e-5)
