@@ -17,9 +17,10 @@ Shared procedure, replicated exactly:
 - handcrafted-feature variant: column 5 (T Duration) deleted from the
   10-feature matrix before fitting (main_ml_classify.py:110).
 
-The model is the JAX GBDT; its traced hyperparameters mean the whole LHS
-sweep reuses a handful of compilations keyed only on (max_depth,
-n_estimators).
+The model is the JAX GBDT; every hyperparameter (including the effective
+tree depth, via traced depth limits) is a runtime value, so the whole
+1000-candidate LHS sweep reuses two compiled programs (one per coarse depth
+bucket).
 """
 
 from __future__ import annotations
@@ -87,11 +88,12 @@ def grid_search_cv(
     """LHS candidates scored by K-fold ROC-AUC; returns the best param dict.
 
     Own implementation (the reference uses sklearn GridSearchCV over
-    single-point grids with joblib fan-out).  ``vectorized=True`` groups the
-    candidates by tree depth and fits candidates x folds in vmapped device
-    programs (every other hyperparameter is traced), turning the 3000-fit
-    sweep into a handful of compiled calls; binning then uses the full-pool
-    quantile edges (an approximation-detail difference only)."""
+    single-point grids with joblib fan-out).  ``vectorized=True`` buckets the
+    candidates into two coarse depth groups and fits candidates x folds in
+    vmapped device programs (every hyperparameter incl. depth is traced),
+    turning the 3000-fit sweep into a handful of compiled calls; binning then
+    uses the full-pool quantile edges (an approximation-detail difference
+    only)."""
     params = lhs_param_dicts(n_candidates, random_state=random_state)
     rng = np.random.default_rng(random_state)
     n = len(y)
