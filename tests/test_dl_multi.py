@@ -39,3 +39,42 @@ def test_train_classifier_multi_shapes():
     assert len(models) == 3
     p0, s0 = models[0]
     assert p0["fc2"]["w"].shape == (1, 32)
+
+
+def test_multi_seed_training_shards_over_mesh():
+    """The vmapped multi-seed epoch runs with its seed axis sharded over an
+    8-device mesh (the DL harness counterpart of joblib fan-out)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ae_waveforms_tpu.classify.dl import _train_epoch_multi
+    from ae_waveforms_tpu.models import lstm_classifier
+    from ae_waveforms_tpu.parallel.mesh import data_mesh
+
+    mesh = data_mesh(8)
+    S, n, T, B = 8, 32, 48, 16
+    rng = np.random.default_rng(0)
+
+    keys = jax.vmap(jax.random.PRNGKey)(np.arange(S, dtype=np.uint32))
+    params, state = jax.vmap(lstm_classifier.init)(keys)
+    shard = lambda tree: jax.tree_util.tree_map(  # noqa: E731
+        lambda a: jax.device_put(a, NamedSharding(mesh, P("data", *[None] * (a.ndim - 1)))), tree
+    )
+    params, state = shard(params), shard(state)
+    opt_m = jax.tree_util.tree_map(jnp.zeros_like, params)
+    opt_v = jax.tree_util.tree_map(jnp.zeros_like, params)
+    opt_t = jax.device_put(jnp.zeros((S,), jnp.float32), NamedSharding(mesh, P("data")))
+
+    x = shard(jnp.asarray(rng.standard_normal((S, n, T, 1)), jnp.float32))
+    y = shard(jnp.asarray((rng.uniform(size=(S, n)) > 0.5), jnp.float32))
+    steps = n // B
+    idx = shard(jnp.asarray(np.tile(np.arange(n, dtype=np.int32).reshape(1, steps, B), (S, 1, 1))))
+    mask = shard(jnp.ones((S, steps, B), bool))
+    rngs = shard(keys)
+
+    out = _train_epoch_multi(params, state, opt_m, opt_v, opt_t, rngs, x, y, idx, mask,
+                             jnp.asarray(1e-3, jnp.float32))
+    losses = np.asarray(out[-1])
+    assert losses.shape == (S, steps)
+    assert np.isfinite(losses).all()
