@@ -123,15 +123,12 @@ def _modal_form(b: tuple, a: tuple):
     return V, Vinv @ c, float(np.log(r)), float(theta)
 
 
-def _parallel_lfilter(x: jnp.ndarray, b, a, s0: jnp.ndarray) -> jnp.ndarray:
-    """lfilter via associative scan.  x: (T,), s0: (n,) DF2T state."""
-    modal = _modal_form(tuple(np.asarray(b)), tuple(np.asarray(a)))
-    dtype = x.dtype
-    b0 = jnp.asarray(b[0], dtype)
-    if modal is None:
-        return _parallel_lfilter_generic(x, b, a, s0)
-    V, c_t, log_r, theta = modal
-    T = x.shape[0]
+def _modal_scan(vs: jnp.ndarray, s0_modal: jnp.ndarray, log_r: float, theta: float) -> jnp.ndarray:
+    """Inclusive modal-state trajectory for s_t = M s_{t-1} + v_t with
+    M = r R(theta): prefix transitions computed in closed form from block
+    lengths.  vs: (T, 2) per-step inputs in modal coordinates."""
+    T = vs.shape[0]
+    dtype = vs.dtype
 
     def rot_apply(length, v):
         """(r e^{i theta})^length applied to v — closed form, no error
@@ -146,7 +143,6 @@ def _parallel_lfilter(x: jnp.ndarray, b, a, s0: jnp.ndarray) -> jnp.ndarray:
             [cs * v[..., 0] + sn * v[..., 1], -sn * v[..., 0] + cs * v[..., 1]], axis=-1
         )
 
-    vs = jnp.asarray(c_t, dtype)[None, :] * x[:, None]
     lens = jnp.ones((T,), jnp.int32)
 
     def combine(e1, e2):
@@ -155,11 +151,33 @@ def _parallel_lfilter(x: jnp.ndarray, b, a, s0: jnp.ndarray) -> jnp.ndarray:
         return rot_apply(l2, v1) + v2, l1 + l2
 
     vp, _ = jax.lax.associative_scan(combine, (vs, lens))
-    s0_t = jnp.asarray(np.linalg.inv(V), dtype) @ s0  # modal coordinates
     t_idx = jnp.arange(1, T + 1)
-    s_modal = rot_apply(t_idx, jnp.broadcast_to(s0_t, (T, 2))) + vp
+    return rot_apply(t_idx, jnp.broadcast_to(s0_modal, (T, 2))) + vp
+
+
+def _parallel_lfilter(x: jnp.ndarray, b, a, s0: jnp.ndarray) -> jnp.ndarray:
+    """lfilter via associative scan.  x: (T,), s0: (n,) DF2T state.
+
+    No iterative refinement: the error recurrence e_t = A e_{t-1} + r_t
+    amplifies i.i.d. residual noise by ~1/(1-|pole|) (~1000x for the 1 Hz
+    high-pass), so even an error-free-transformation residual accurate to
+    ~4e-8 yields a ~4e-5 correction — worse than the ~3e-7 unrefined error.
+    Refinement would need an f64 residual, i.e. just running the f64 path.
+    """
+    modal = _modal_form(tuple(np.asarray(b)), tuple(np.asarray(a)))
+    dtype = x.dtype
+    b0 = jnp.asarray(b[0], dtype)
+    if modal is None:
+        return _parallel_lfilter_generic(x, b, a, s0)
+    V, c_t, log_r, theta = modal
+    Vj = jnp.asarray(V, dtype)
+
+    vs = jnp.asarray(c_t, dtype)[None, :] * x[:, None]
+    s0_t = jnp.asarray(np.linalg.inv(V), dtype) @ s0
+    s_modal = _modal_scan(vs, s0_t, log_r, theta)
+
     # back to DF2T coordinates; y[t] = b0 x[t] + s[t-1][0]
-    V0 = jnp.asarray(V[0], dtype)
+    V0 = Vj[0]
     s_row0 = s_modal @ V0
     s_prev0 = jnp.concatenate([s0[None, 0], s_row0[:-1]])
     return b0 * x + s_prev0
