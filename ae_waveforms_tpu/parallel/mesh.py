@@ -7,7 +7,8 @@ TPU-native design is therefore a 1-D ``data`` mesh with batch sharding and
 replicated parameters; XLA inserts the gradient ``psum`` over ICI.
 
 A second ``model`` axis is supported for demonstration/testing of 2-D
-layouts, but defaults to size 1.
+layouts, but defaults to size 1; ``parallel/tp.py`` provides the
+column/row-parallel layer pair that uses it.
 """
 
 from __future__ import annotations
