@@ -1,0 +1,101 @@
+"""Direct coverage for the small support modules: LHS sampling, the model
+registry, logging/tracker channels, profiling timers, and the gated
+VitalDB adapter's offline behavior."""
+
+import csv
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+
+def test_lhs_param_ranges_and_grid_contract():
+    from ae_waveforms_tpu.classify.lhs import generate_lhs_params, lhs_param_dicts
+
+    params = lhs_param_dicts(200, random_state=1)
+    assert len(params) == 200
+    for p in params:
+        assert 2 <= p["max_depth"] <= 10
+        assert 0.01 <= p["learning_rate"] <= 0.3
+        assert p["n_estimators"] in set(range(50, 551, 50))
+        assert 0.0 <= p["gamma"] <= 5.0
+        assert 1 <= p["min_child_weight"] <= 11
+        assert 0.5 <= p["subsample"] <= 1.0
+        assert 0.5 <= p["colsample_bytree"] <= 1.0
+    # LHS stratification: each of the 9 depth cells is hit at 200 samples
+    assert {p["max_depth"] for p in params} == set(range(2, 11))
+    # deterministic under a seed
+    assert lhs_param_dicts(10, random_state=7) == lhs_param_dicts(10, random_state=7)
+    # GridSearchCV-style single-point grids (reference return contract)
+    grids = generate_lhs_params(3, random_state=0)
+    assert all(isinstance(v, list) and len(v) == 1 for g in grids for v in g.values())
+
+
+def test_registry_builds_both_models_and_rejects_unknown():
+    from ae_waveforms_tpu.models.registry import MODEL_REGISTRY, build_model, input_layout
+
+    assert set(MODEL_REGISTRY) == {"LSTMAutoencoder", "LeNet5AutoencoderAvgPool"}
+    key = jax.random.PRNGKey(0)
+    for name, mdef in MODEL_REGISTRY.items():
+        _, params = build_model(name, key, latent_size=4)
+        B, L = 2, 320
+        x = np.zeros((B, 1, L) if mdef.channel_first else (B, L, 1), np.float32)
+        out = mdef.forward(params, x)
+        assert out.shape == x.shape
+        z = mdef.encode(params, x)
+        assert z.shape[0] == B and 4 in z.shape
+        assert input_layout(name) == mdef.channel_first
+    with pytest.raises(ValueError, match="unknown model class"):
+        build_model("ResNet", key, latent_size=4)
+
+
+def test_csv_logs_and_jsonl_tracker(tmp_path):
+    from ae_waveforms_tpu.train.logs import CsvLogs, JsonlTracker, make_tracker
+
+    d = str(tmp_path)
+    logs = CsvLogs(d)
+    logs.train_step(0, 10, 1e-3, 0.5)
+    logs.train_step(0, 20, 1e-3, 0.4)
+    logs.validation(0, 20, 1e-3, 0.4, 0.45)  # flushes buffered train rows
+    with open(os.path.join(d, "training_log.csv")) as f:
+        rows = list(csv.reader(f))
+    assert len(rows) == 2 and rows[1][:2] == ["0", "20"]
+    with open(os.path.join(d, "training_log_validation.csv")) as f:
+        vrows = list(csv.reader(f))
+    assert vrows == [["0", "20", "0.001", "0.4", "0.45"]]
+
+    tr = JsonlTracker(d, tags=["unit"], flush_every=4)
+    for i in range(6):
+        tr.log("Train Loss", float(i))
+    tr.close()
+    recs = [json.loads(line) for line in open(os.path.join(d, "run.jsonl"))]
+    assert recs[0]["stream"] == "tags"
+    assert [r["value"] for r in recs if r["stream"] == "Train Loss"] == [0, 1, 2, 3, 4, 5]
+
+    assert make_tracker(None, d).__class__.__name__ == "_NoopTracker"
+    assert isinstance(make_tracker("jsonl", d), JsonlTracker)
+
+
+def test_profiling_timer_and_trace(tmp_path):
+    from ae_waveforms_tpu.train.profiling import Timer, trace
+
+    t = Timer()
+    assert t.lap() >= 0.0
+    with trace(None):  # no-op path
+        pass
+    with trace(str(tmp_path / "prof")):  # real jax.profiler trace
+        jax.block_until_ready(jax.numpy.ones((8, 8)) @ jax.numpy.ones((8, 8)))
+    assert any((tmp_path / "prof").rglob("*"))
+
+
+def test_vitaldb_gated_offline():
+    from ae_waveforms_tpu.data import vitaldb_io
+
+    assert vitaldb_io.have_vitaldb() is False  # no egress in this image
+    loader = vitaldb_io.make_loader(["SNUADC/ECG_II"], synthetic_fallback=True)
+    rec = loader(1)
+    assert rec is not None and rec.ndim == 1 and np.isfinite(rec).any()
+    with pytest.raises(RuntimeError, match="vitaldb"):
+        vitaldb_io.make_loader(["SNUADC/ECG_II"], synthetic_fallback=False)
