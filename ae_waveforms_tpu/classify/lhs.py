@@ -5,6 +5,9 @@ Same 7-dim unit LHS (scipy qmc, a consumed dependency of the reference too)
 and the same mapping onto the gradient-boosting grid: max_depth 2-10,
 learning_rate 0.01-0.3, n_estimators {50..550 step 50}, gamma 0-5,
 min_child_weight 1-11, subsample and colsample_bytree 0.5-1.
+
+Note the nominal 550-tree cell is unreachable in the reference too:
+``(int(s*10)+1)*50`` with s < 1 tops out at 500 — preserved exactly.
 """
 
 from __future__ import annotations

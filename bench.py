@@ -104,11 +104,36 @@ def bench_torch_cpu(n_steps: int = 3) -> float:
     return n_steps * BATCH / dt
 
 
+def _bench_tpu_resilient() -> float:
+    """The tunnelled TPU worker occasionally crashes mid-session
+    (UNAVAILABLE), which poisons the in-process JAX client — recovery needs
+    a fresh process.  Try in-process first, then up to two subprocess
+    retries with backoff."""
+    import subprocess
+    import sys
+
+    try:
+        return bench_tpu()
+    except Exception as e:
+        print(f"# in-process TPU bench failed ({type(e).__name__}); retrying in subprocess", file=sys.stderr)
+    for attempt in range(2):
+        time.sleep(60 * (attempt + 1))
+        proc = subprocess.run(
+            [sys.executable, __file__, "--tpu-only"], capture_output=True, text=True
+        )
+        for line in proc.stdout.splitlines():
+            try:
+                return float(line.strip())
+            except ValueError:
+                continue
+    raise RuntimeError("TPU benchmark failed after retries")
+
+
 def main():
     from ae_waveforms_tpu.core.runtime import enable_compilation_cache
 
     enable_compilation_cache()
-    tpu = bench_tpu()
+    tpu = _bench_tpu_resilient()
     ref = bench_torch_cpu()
     print(
         json.dumps(
@@ -123,4 +148,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--tpu-only" in sys.argv:
+        from ae_waveforms_tpu.core.runtime import enable_compilation_cache
+
+        enable_compilation_cache()
+        print(bench_tpu())
+    else:
+        main()

@@ -54,7 +54,12 @@ def main() -> None:
     stages = {}
 
     t0 = time.perf_counter()
-    result = grid_search_cv(X, y, n_candidates=1000, cv=3, vectorized=True, verbose=True)
+    # fits_per_call=24: the tunnelled worker faults on the S=48 variant of
+    # the sweep program after a crash-restart (observed 2026-08-16); 24 is
+    # stable and the warm per-fit cost is launch-bound anyway
+    result = grid_search_cv(
+        X, y, n_candidates=1000, cv=3, vectorized=True, verbose=True, fits_per_call=24
+    )
     stages["grid_search_1000x3fold_s"] = round(time.perf_counter() - t0, 1)
     print("best:", result, flush=True)
 
