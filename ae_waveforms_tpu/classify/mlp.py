@@ -11,7 +11,7 @@ under one ``lax.scan`` — a single compiled program per fit, and the whole
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,6 @@ def have_vitaldb() -> bool:
 
 def load_record(case_id: int, track_names: Sequence[str], sampling_frequency: int = 500) -> Optional[np.ndarray]:
     """(T, n_tracks) merged record or None if any track is missing/empty."""
-    import pandas as pd
     import vitaldb
 
     frames = []
