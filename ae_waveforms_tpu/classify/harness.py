@@ -94,6 +94,8 @@ def grid_search_cv(
     turning the 3000-fit sweep into a handful of compiled calls; binning then
     uses the full-pool quantile edges (an approximation-detail difference
     only)."""
+    if n_candidates < 1:
+        raise ValueError(f"n_candidates must be >= 1, got {n_candidates}")
     params = lhs_param_dicts(n_candidates, random_state=random_state)
     rng = np.random.default_rng(random_state)
     n = len(y)
@@ -162,47 +164,66 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
 
     mean_scores = np.zeros(len(params))
     done = 0
+
+    def dispatch(chunk, depth):
+        """Enqueue one chunk's fit + predict; returns the device margins
+        without blocking (JAX async dispatch)."""
+        S = len(chunk) * cv
+        row_w = np.zeros((S, n), np.float32)
+        lr = np.zeros(S, np.float32)
+        gm = np.zeros(S, np.float32)
+        mc = np.zeros(S, np.float32)
+        sb = np.zeros(S, np.float32)
+        cl = np.zeros(S, np.float32)
+        na = np.zeros(S, np.int32)
+        dl = np.zeros(S, np.int32)
+        for j, ci in enumerate(chunk):
+            p = params[ci]
+            for f in range(cv):
+                s = j * cv + f
+                row_w[s] = fold_masks[f]
+                lr[s] = p["learning_rate"]
+                gm[s] = p["gamma"]
+                mc[s] = p["min_child_weight"]
+                sb[s] = p["subsample"]
+                cl[s] = p["colsample_bytree"]
+                na[s] = p["n_estimators"]
+                dl[s] = p["max_depth"]
+        rngs = jax.vmap(jax.random.PRNGKey)(np.full(S, random_state, np.uint32))
+        ens = fit_gbt_sweep(
+            bins, jnp.asarray(y_f), jnp.asarray(row_w), rngs,
+            jnp.asarray(lr), jnp.asarray(gm), jnp.asarray(mc), jnp.asarray(sb),
+            jnp.asarray(cl), jnp.asarray(na), max_depth=depth, n_estimators=cap,
+            depth_limits=jnp.asarray(dl),
+        )
+        return predict_margin_multi(ens, bins, depth)
+
+    def score(chunk, margins_dev):
+        nonlocal done
+        margins = np.asarray(margins_dev)  # blocks on the device queue
+        for j, ci in enumerate(chunk):
+            aucs = []
+            for f in range(cv):
+                te = folds[f]
+                aucs.append(roc_auc_score(y[te], margins[j * cv + f][te]))
+            mean_scores[ci] = float(np.mean(aucs))
+        done += len(chunk)
+        if verbose:
+            print(f"grid search {done}/{len(params)}: best AUC {mean_scores.max():.4f}")
+
+    # one-chunk lookahead: while the device runs chunk k+1, the host pulls
+    # chunk k's margins and scores its AUCs — host work and transfers hide
+    # behind device execution instead of serialising with it
+    pending = None
     for depth, idxs in sorted(by_depth.items()):
         for c0 in range(0, len(idxs), max(1, fits_per_call // cv)):
             chunk = idxs[c0 : c0 + max(1, fits_per_call // cv)]
-            S = len(chunk) * cv
-            row_w = np.zeros((S, n), np.float32)
-            lr = np.zeros(S, np.float32)
-            gm = np.zeros(S, np.float32)
-            mc = np.zeros(S, np.float32)
-            sb = np.zeros(S, np.float32)
-            cl = np.zeros(S, np.float32)
-            na = np.zeros(S, np.int32)
-            dl = np.zeros(S, np.int32)
-            for j, ci in enumerate(chunk):
-                p = params[ci]
-                for f in range(cv):
-                    s = j * cv + f
-                    row_w[s] = fold_masks[f]
-                    lr[s] = p["learning_rate"]
-                    gm[s] = p["gamma"]
-                    mc[s] = p["min_child_weight"]
-                    sb[s] = p["subsample"]
-                    cl[s] = p["colsample_bytree"]
-                    na[s] = p["n_estimators"]
-                    dl[s] = p["max_depth"]
-            rngs = jax.vmap(jax.random.PRNGKey)(np.full(S, random_state, np.uint32))
-            ens = fit_gbt_sweep(
-                bins, jnp.asarray(y_f), jnp.asarray(row_w), rngs,
-                jnp.asarray(lr), jnp.asarray(gm), jnp.asarray(mc), jnp.asarray(sb),
-                jnp.asarray(cl), jnp.asarray(na), max_depth=depth, n_estimators=cap,
-                depth_limits=jnp.asarray(dl),
-            )
-            margins = np.asarray(predict_margin_multi(ens, bins, depth))
-            for j, ci in enumerate(chunk):
-                aucs = []
-                for f in range(cv):
-                    te = folds[f]
-                    aucs.append(roc_auc_score(y[te], margins[j * cv + f][te]))
-                mean_scores[ci] = float(np.mean(aucs))
-            done += len(chunk)
-            if verbose:
-                print(f"grid search {done}/{len(params)}: best AUC {mean_scores.max():.4f}")
+            margins_dev = dispatch(chunk, depth)
+            if pending is not None:
+                score(*pending)
+            pending = (chunk, margins_dev)
+    if pending is not None:
+        score(*pending)
 
     best = int(np.argmax(mean_scores))
     return {"best_params": params[best], "best_score": float(mean_scores[best])}

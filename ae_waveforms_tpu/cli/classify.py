@@ -56,7 +56,8 @@ def run_latent(args):
     X = np.concatenate([data.control_train[: args.gs_size], data.sick_train[: args.gs_size]])
     y = np.concatenate([np.zeros(min(args.gs_size, len(data.control_train))),
                         np.ones(min(args.gs_size, len(data.sick_train)))])
-    gs = grid_search_cv(X, y, n_candidates=args.gs_candidates, random_state=1, verbose=True)
+    gs = grid_search_cv(X, y, n_candidates=args.gs_candidates, random_state=1, verbose=True,
+                        vectorized=args.vectorized)
     print("Best hyperparameters found:", gs["best_params"])
     out = os.path.join(args.data, "results", os.path.splitext(args.sick_file)[0].split("_")[-1].lower())
     size_seed_sweep(data, gs["best_params"], sizes=args.sizes, n_seeds=args.seeds, out_dir=out,
@@ -68,7 +69,8 @@ def run_ppv(args):
     X = np.concatenate([data.control_train[: args.gs_size], data.sick_train[: args.gs_size]])
     y = np.concatenate([np.zeros(min(args.gs_size, len(data.control_train))),
                         np.ones(min(args.gs_size, len(data.sick_train)))])
-    gs = grid_search_cv(X, y, n_candidates=args.gs_candidates, random_state=1, verbose=True)
+    gs = grid_search_cv(X, y, n_candidates=args.gs_candidates, random_state=1, verbose=True,
+                        vectorized=args.vectorized)
     print("Best hyperparameters found:", gs["best_params"])
     ppv_analysis(data, gs["best_params"], size=6000, n_seeds=args.seeds)
 
@@ -83,7 +85,8 @@ def run_features(args):
     y = np.concatenate([np.zeros(min(6000, len(data.control_train))),
                         np.ones(min(6000, len(data.sick_train)))])
     X = np.delete(X, 5, axis=1)
-    gs = grid_search_cv(X, y, n_candidates=args.gs_candidates, random_state=1, verbose=True)
+    gs = grid_search_cv(X, y, n_candidates=args.gs_candidates, random_state=1, verbose=True,
+                        vectorized=args.vectorized)
     print("Best hyperparameters found:", gs["best_params"])
     out = os.path.join(args.data, "results")
     stem = os.path.splitext(args.sick_features)[0]
