@@ -25,7 +25,14 @@ def enable_compilation_cache(path: str | None = None) -> str:
     # context key: axon presence + XLA flags (both change XLA:CPU target
     # features; mixing entries triggers machine-feature mismatch warnings)
     flags = os.environ.get("XLA_FLAGS", "")
-    ctx = "axon" if os.environ.get("PALLAS_AXON_POOL_IPS") else "local"
+    # any of the relay vars routes compiles through the remote builder, whose
+    # XLA injects different target features (e.g. +prefer-no-scatter) than a
+    # local compile on this host — those entries must not share a partition
+    relay = any(
+        os.environ.get(v)
+        for v in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE", "AXON_LOOPBACK_RELAY")
+    )
+    ctx = "axon" if relay else "local"
     ctx += "-" + hashlib.sha1(flags.encode()).hexdigest()[:6]
     try:
         backend = jax.default_backend()
