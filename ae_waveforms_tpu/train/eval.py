@@ -68,6 +68,12 @@ def main_test(
     if not test_files:
         raise FileNotFoundError(f"no test-index mask in {model_dir}")
     te_mask = np.load(test_files[0])
+    if int(te_mask.sum()) == 0:
+        raise ValueError(
+            f"test-index mask in {model_dir} selects 0 samples: the seeded "
+            "patient-level draw left the test split empty — re-split with a "
+            "different seed, more cases, or a larger split_size_test"
+        )
 
     x_np = layout_waves(np.asarray(arrays.waves, np.float32)[te_mask], mdef.channel_first)
     n = len(x_np)
