@@ -62,11 +62,7 @@ def bin_data(X: np.ndarray, edges: np.ndarray) -> np.ndarray:
     return out
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("max_depth", "n_estimators", "n_bins"),
-)
-def fit_gbt(
+def _fit_gbt_margins(
     bins: jnp.ndarray,  # (n, F) int32 pre-binned features
     y: jnp.ndarray,  # (n,) float32 in {0, 1}
     row_weight: jnp.ndarray,  # (n,) float32 0/1 mask (training subset selection)
@@ -81,8 +77,14 @@ def fit_gbt(
     n_bins: int = N_BINS,
     n_active=None,
     depth_limit=None,
-) -> GBTEnsemble:
-    """``n_active`` (traced, defaults to n_estimators) masks trees beyond it
+):
+    """Fit returning ``(ensemble, final_margin)``.  The boosting carry holds
+    the margins of EVERY pool row (held-out rows route through the trees
+    even though their gradients carry zero weight), so the final carry
+    equals ``predict_margin(ens, bins)`` — callers that score on the same
+    pool (e.g. CV grid search) can skip the full re-traversal.
+
+    ``n_active`` (traced, defaults to n_estimators) masks trees beyond it
     to no-ops: a hyperparameter sweep can fix ``n_estimators`` at the grid
     cap so one compilation per depth serves every candidate.
 
@@ -191,10 +193,39 @@ def fit_gbt(
 
     keys = jax.random.split(rng, n_estimators)
     margin0 = jnp.full((n,), BASE_SCORE, jnp.float32)
-    _, (feats, thrs, splits, leaves) = jax.lax.scan(
+    final_margin, (feats, thrs, splits, leaves) = jax.lax.scan(
         grow_tree, margin0, (jnp.arange(n_estimators), keys)
     )
-    return GBTEnsemble(feat=feats, thresh=thrs, is_split=splits, leaf=leaves, lr=lr)
+    ens = GBTEnsemble(feat=feats, thresh=thrs, is_split=splits, leaf=leaves, lr=lr)
+    return ens, final_margin
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "n_estimators", "n_bins"),
+)
+def fit_gbt(
+    bins: jnp.ndarray,
+    y: jnp.ndarray,
+    row_weight: jnp.ndarray,
+    rng: jnp.ndarray,
+    max_depth: int = 6,
+    n_estimators: int = 100,
+    learning_rate: float = 0.3,
+    gamma: float = 0.0,
+    min_child_weight: float = 1.0,
+    subsample: float = 1.0,
+    colsample_bytree: float = 1.0,
+    n_bins: int = N_BINS,
+    n_active=None,
+    depth_limit=None,
+) -> GBTEnsemble:
+    """See ``_fit_gbt_margins`` — this is the ensemble-only jitted entry."""
+    return _fit_gbt_margins(
+        bins, y, row_weight, rng, max_depth, n_estimators, learning_rate,
+        gamma, min_child_weight, subsample, colsample_bytree, n_bins,
+        n_active, depth_limit,
+    )[0]
 
 
 @functools.partial(jax.jit, static_argnames=("max_depth",))
@@ -288,6 +319,31 @@ def fit_gbt_sweep(
 
     def one(w, k, lr, g, mcw, sub, col, n_act, dl):
         return fit_gbt(
+            bins, y, w, k,
+            max_depth=max_depth, n_estimators=n_estimators, learning_rate=lr,
+            gamma=g, min_child_weight=mcw, subsample=sub, colsample_bytree=col,
+            n_bins=n_bins, n_active=n_act, depth_limit=dl,
+        )
+
+    return jax.vmap(one)(
+        row_weights, rngs, learning_rates, gammas, min_child_weights, subsamples, colsamples,
+        n_actives, depth_limits,
+    )
+
+
+def fit_gbt_sweep_margins(
+    bins, y, row_weights, rngs, learning_rates, gammas, min_child_weights,
+    subsamples, colsamples, n_actives, max_depth: int, n_estimators: int,
+    n_bins: int = N_BINS, depth_limits: jnp.ndarray = None,
+):
+    """``fit_gbt_sweep`` that also returns the (S, n) final pool margins the
+    boosting carry already holds (== predict_margin_multi on the same pool),
+    so CV scoring needs no second tree traversal."""
+    if depth_limits is None:
+        depth_limits = jnp.full(row_weights.shape[0], max_depth, jnp.int32)
+
+    def one(w, k, lr, g, mcw, sub, col, n_act, dl):
+        return _fit_gbt_margins(
             bins, y, w, k,
             max_depth=max_depth, n_estimators=n_estimators, learning_rate=lr,
             gamma=g, min_child_weight=mcw, subsample=sub, colsample_bytree=col,

@@ -25,6 +25,7 @@ bucket).
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -129,6 +130,27 @@ def grid_search_cv(
     return {"best_params": best_params, "best_score": best_score}
 
 
+def _roc_auc_device(scores: "jnp.ndarray", labels: "jnp.ndarray", valid: "jnp.ndarray"):
+    """Rank-statistic ROC-AUC of one padded score vector (device).
+
+    Average ranks (tie-corrected, matching sklearn's roc_auc_score) via two
+    searchsorteds against the sorted scores; padded entries carry +inf
+    scores and zero weight so they sit past every real rank."""
+    import jax.numpy as jnp
+
+    scores = jnp.where(valid, scores, jnp.inf)
+    w = valid.astype(jnp.float32)
+    s_sorted = jnp.sort(scores)
+    lo = jnp.searchsorted(s_sorted, scores, side="left")
+    hi = jnp.searchsorted(s_sorted, scores, side="right")
+    rank = (lo + hi + 1).astype(jnp.float32) / 2.0  # 1-based average rank
+    pos = labels * w
+    n_pos = jnp.sum(pos)
+    n_neg = jnp.sum(w) - n_pos
+    rank_sum = jnp.sum(rank * pos)
+    return (rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+
 def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_per_call):
     import jax
     import jax.numpy as jnp
@@ -136,8 +158,7 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
     from ae_waveforms_tpu.classify.gbt import (
         bin_data,
         compute_bin_edges,
-        fit_gbt_sweep,
-        predict_margin_multi,
+        fit_gbt_sweep_margins,
     )
 
     X = np.asarray(X, np.float32)
@@ -153,6 +174,52 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
         fold_masks[f] = 1.0
         fold_masks[f, te] = 0.0  # held-out rows excluded from training
 
+    # device-resident fold data: the bulk arrays cross the (possibly
+    # tunnelled, ~minutes/MB) host->device link exactly once; each chunk
+    # then ships only a handful of scalars per fit and pulls (S,) AUCs back
+    fold_masks_dev = jnp.asarray(fold_masks)
+    y_dev = jnp.asarray(y_f)
+    F = max(len(te) for te in folds)
+    te_idx = np.zeros((cv, F), np.int32)
+    te_valid = np.zeros((cv, F), bool)
+    for f, te in enumerate(folds):
+        te_idx[f, : len(te)] = te
+        te_valid[f, : len(te)] = True
+    te_idx_dev = jnp.asarray(te_idx)
+    te_valid_dev = jnp.asarray(te_valid)
+
+    @jax.jit
+    def _fold_aucs(margins, fold_ids):
+        """(S, n) margins + (S,) fold ids -> (S,) held-out ROC-AUCs."""
+
+        def one(m, f):
+            idx = te_idx_dev[f]
+            return _roc_auc_device(m[idx], y_dev[idx], te_valid_dev[f])
+
+        return jax.vmap(one)(margins, fold_ids)
+
+    @functools.partial(jax.jit, static_argnames=("depth",))
+    def _run_chunk(packed, depth):
+        """One fused device program per chunk (fit + held-out AUC).
+        ``packed`` is the single (9, S) f32 upload carrying every per-fit
+        scalar — each host->device put costs seconds through a tunnelled
+        worker, so the chunk ships exactly one."""
+        lr, gm, mc, sb, cl = packed[0], packed[1], packed[2], packed[3], packed[4]
+        na = packed[5].astype(jnp.int32)
+        dl = packed[6].astype(jnp.int32)
+        fold_ids = packed[7].astype(jnp.int32)
+        seeds = packed[8].astype(jnp.uint32)
+        rngs = jax.vmap(jax.random.PRNGKey)(seeds)
+        row_w = jnp.take(fold_masks_dev, fold_ids, axis=0)
+        # the boosting carry already holds every pool row's margin (held-out
+        # rows route through the trees with zero gradient weight), so no
+        # second tree traversal is needed for CV scoring
+        _, margins = fit_gbt_sweep_margins(
+            bins, y_dev, row_w, rngs, lr, gm, mc, sb, cl, na,
+            max_depth=depth, n_estimators=cap, depth_limits=dl,
+        )
+        return _fold_aucs(margins, fold_ids)
+
     # group candidates into coarse depth buckets; depth itself is traced
     # (depth_limits), so each bucket compiles once regardless of the mix
     def bucket_of(d: int) -> int:
@@ -166,47 +233,29 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
     done = 0
 
     def dispatch(chunk, depth):
-        """Enqueue one chunk's fit + predict; returns the device margins
-        without blocking (JAX async dispatch)."""
+        """Enqueue one chunk's fit + predict + held-out AUC; returns the
+        (S,) device AUC vector without blocking (JAX async dispatch).  Per
+        chunk only the traced hyperparameter scalars go up and S floats
+        come back — the row weights are gathered on device from the
+        resident fold masks."""
         S = len(chunk) * cv
-        row_w = np.zeros((S, n), np.float32)
-        lr = np.zeros(S, np.float32)
-        gm = np.zeros(S, np.float32)
-        mc = np.zeros(S, np.float32)
-        sb = np.zeros(S, np.float32)
-        cl = np.zeros(S, np.float32)
-        na = np.zeros(S, np.int32)
-        dl = np.zeros(S, np.int32)
+        packed = np.zeros((9, S), np.float32)
         for j, ci in enumerate(chunk):
             p = params[ci]
             for f in range(cv):
                 s = j * cv + f
-                row_w[s] = fold_masks[f]
-                lr[s] = p["learning_rate"]
-                gm[s] = p["gamma"]
-                mc[s] = p["min_child_weight"]
-                sb[s] = p["subsample"]
-                cl[s] = p["colsample_bytree"]
-                na[s] = p["n_estimators"]
-                dl[s] = p["max_depth"]
-        rngs = jax.vmap(jax.random.PRNGKey)(np.full(S, random_state, np.uint32))
-        ens = fit_gbt_sweep(
-            bins, jnp.asarray(y_f), jnp.asarray(row_w), rngs,
-            jnp.asarray(lr), jnp.asarray(gm), jnp.asarray(mc), jnp.asarray(sb),
-            jnp.asarray(cl), jnp.asarray(na), max_depth=depth, n_estimators=cap,
-            depth_limits=jnp.asarray(dl),
-        )
-        return predict_margin_multi(ens, bins, depth)
+                packed[:, s] = (
+                    p["learning_rate"], p["gamma"], p["min_child_weight"],
+                    p["subsample"], p["colsample_bytree"], p["n_estimators"],
+                    p["max_depth"], f, random_state,
+                )
+        return _run_chunk(jnp.asarray(packed), depth)
 
-    def score(chunk, margins_dev):
+    def score(chunk, aucs_dev):
         nonlocal done
-        margins = np.asarray(margins_dev)  # blocks on the device queue
+        aucs = np.asarray(aucs_dev)  # (S,) — blocks on the device queue
         for j, ci in enumerate(chunk):
-            aucs = []
-            for f in range(cv):
-                te = folds[f]
-                aucs.append(roc_auc_score(y[te], margins[j * cv + f][te]))
-            mean_scores[ci] = float(np.mean(aucs))
+            mean_scores[ci] = float(np.mean(aucs[j * cv : (j + 1) * cv]))
         done += len(chunk)
         if verbose:
             print(f"grid search {done}/{len(params)}: best AUC {mean_scores.max():.4f}")
