@@ -30,6 +30,13 @@ def data_mesh(
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"data_mesh needs {n_devices} devices but jax reports only "
+            f"{len(devices)} ({[d.platform for d in devices]}); for a virtual "
+            "mesh, configure jax_platforms='cpu' + jax_num_cpu_devices BEFORE "
+            "any device use (see tests/conftest.py)."
+        )
     devices = np.asarray(devices[:n_devices])
     assert n_devices % model_parallel == 0, (n_devices, model_parallel)
     grid = devices.reshape(n_devices // model_parallel, model_parallel)
