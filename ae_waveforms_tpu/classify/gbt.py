@@ -9,7 +9,7 @@ serialise badly on TPU.  Here the per-level (node, feature, bin) gradient/
 hessian histograms are *matmuls*: a static one-hot bin-indicator matrix
 B (n, F*bins) is built once per dataset, and each level computes
 
-    hist = (node_onehot * g)^T  @  B        # (nodes, F*bins) on the MXU
+    [G; H] = [node_onehot*g, node_onehot*h]^T @ B   # one MXU matmul
 
 so the entire tree-growing pass is systolic-array work.  Level-wise growth
 with fixed shapes (2^depth nodes), logistic loss, second-order gains with
@@ -17,6 +17,24 @@ L2 lambda, gamma pruning, min_child_weight, per-tree row subsampling and
 column subsampling — the same knob set the reference's LHS sweep searches
 over.  Trees are grown under ``lax.scan``; the whole fit is one compiled
 program, and fits vmap over the 25-seed evaluation harness.
+
+Scan-body rules learned by on-chip elimination benchmarking
+(benchmarks/bench_gbt_elim.py / bench_gbt_v2.py, 62.5 -> 4.3 ms/tree at
+harness scale, n=12500 F=10 bins=256 depth=6, 24-fit chunks):
+
+* NO per-row gathers.  ``take_along_axis`` row-routing cost ~58 of the
+  62.5 ms/tree (~30M elem/s effective).  Every gather is re-expressed as a
+  one-hot contraction: a row's split-feature value is ``bins_f32 @
+  onehot(feat_per_node)^T`` picked by the node one-hot — MXU work.
+* NO ``jnp.cumsum`` over the bin axis.  XLA lowers it as an O(W*N)
+  reduce_window on the VPU (~8.7 ms/tree); a (bins, bins) upper-triangular
+  matmul computes the same prefix sums on the MXU in ~0.1 ms.
+* NO scatters for heap bookkeeping.  Levels occupy static, contiguous
+  heap ranges [2^d-1, 2^(d+1)-1), so per-level results are concatenated —
+  fully static layout.
+* Sibling subtraction: only left-child histograms are computed
+  (right = parent - left), halving histogram matmul FLOPs; exact for
+  masked/empty nodes too (empty right child -> all-infeasible gains).
 
 This is a capability equivalent (same algorithm family and hyperparameters,
 comparable accuracy), not a bit-clone of the XGBoost C++ core — which is a
@@ -102,9 +120,14 @@ def _fit_gbt_margins(
         depth_limit = max_depth
     depth_limit = jnp.asarray(depth_limit, jnp.int32)
 
-    # static one-hot bin indicators: (n, F * n_bins)
-    onehot = jax.nn.one_hot(bins + jnp.arange(F)[None, :] * n_bins, F * n_bins, dtype=jnp.float32)
-    onehot = onehot.sum(axis=1)  # collapse the F per-row one-hots into one row
+    # static one-hot bin indicators (n, F * n_bins) via direct iota compare
+    # (cheaper to fuse than one_hot over shifted indices)
+    onehot = (bins[:, :, None] == jnp.arange(n_bins)[None, None, :]).astype(
+        jnp.float32
+    ).reshape(n, F * n_bins)
+    bins_f = bins.astype(jnp.float32)  # bin ids < n_bins are exact in f32
+    # prefix sums over the bin axis as an MXU matmul (see module docstring)
+    tri = jnp.triu(jnp.ones((n_bins, n_bins), jnp.float32))  # tri[i,j]=1 if i<=j
 
     lr = jnp.asarray(learning_rate, jnp.float32)
     gamma = jnp.asarray(gamma, jnp.float32)
@@ -128,21 +151,35 @@ def _fit_gbt_margins(
         h = jnp.maximum(p * (1.0 - p), 1e-16) * w
 
         node_of = jnp.zeros((n,), jnp.int32)
-        feat_t = jnp.zeros((max_nodes,), jnp.int32)
-        thr_t = jnp.zeros((max_nodes,), jnp.int32)
-        split_t = jnp.zeros((max_nodes,), bool)
+        feats, thrs, splits = [], [], []
+        parentG = parentH = None
 
         for depth in range(max_depth):
             n_nodes = 2**depth
             node_onehot = jax.nn.one_hot(node_of, n_nodes, dtype=jnp.float32)
-            # MXU histograms: (n_nodes, F * n_bins)
-            Gh = (node_onehot * g[:, None]).T @ onehot
-            Hh = (node_onehot * h[:, None]).T @ onehot
-            Gh = Gh.reshape(n_nodes, F, n_bins)
-            Hh = Hh.reshape(n_nodes, F, n_bins)
+            if depth == 0:
+                # root histograms: one stacked MXU matmul for G and H
+                A = jnp.concatenate([g[:, None], h[:, None]], axis=1)
+                GH = A.T @ onehot
+                Gh = GH[:1].reshape(1, F, n_bins)
+                Hh = GH[1:].reshape(1, F, n_bins)
+            else:
+                # sibling subtraction: compute only left children (even node
+                # ids); right = parent - left.  Rows of a non-split parent
+                # all descend left, so the right child is empty and its
+                # histogram is exactly parent - left = 0.
+                half = n_nodes // 2
+                left_sel = node_onehot[:, 0::2]  # (n, half)
+                A = jnp.concatenate([left_sel * g[:, None], left_sel * h[:, None]], axis=1)
+                GH = A.T @ onehot  # (2*half, F*n_bins)
+                Gl = GH[:half].reshape(half, F, n_bins)
+                Hl = GH[half:].reshape(half, F, n_bins)
+                Gh = jnp.stack([Gl, parentG - Gl], axis=1).reshape(n_nodes, F, n_bins)
+                Hh = jnp.stack([Hl, parentH - Hl], axis=1).reshape(n_nodes, F, n_bins)
+            parentG, parentH = Gh, Hh
 
-            GL = jnp.cumsum(Gh, axis=2)
-            HL = jnp.cumsum(Hh, axis=2)
+            GL = Gh @ tri
+            HL = Hh @ tri
             G = GL[:, :, -1:]
             H = HL[:, :, -1:]
             GR = G - GL
@@ -161,19 +198,18 @@ def _fit_gbt_margins(
             do_split = (best_gain > 0.0) & (depth < depth_limit)
             bf = (best // n_bins).astype(jnp.int32)
             bb = (best % n_bins).astype(jnp.int32)
+            # heap layout: level d fills the static range [2^d-1, 2^(d+1)-1)
+            feats.append(jnp.where(do_split, bf, 0))
+            thrs.append(jnp.where(do_split, bb, 0))
+            splits.append(do_split)
 
-            base = jnp.arange(n_nodes, dtype=jnp.int32) + n_nodes - 1  # heap index of this level
-            # record level splits into per-tree arrays (heap layout, root=0)
-            feat_t = feat_t.at[jnp.where(do_split, base, max_nodes - 1)].set(bf, mode="drop")
-            thr_t = thr_t.at[jnp.where(do_split, base, max_nodes - 1)].set(bb, mode="drop")
-            split_t = split_t.at[base].set(do_split)
-
-            # route rows: node ids within the next level
-            nf = bf[node_of]
-            nb = bb[node_of]
-            row_bin = jnp.take_along_axis(bins, nf[:, None], axis=1)[:, 0]
-            go_right = (row_bin > nb).astype(jnp.int32)
-            splittable = do_split[node_of]
+            # gather-free routing: each row's value of its node's split
+            # feature is a one-hot contraction on the MXU
+            feat_oh = jax.nn.one_hot(bf, F, dtype=jnp.float32)  # (n_nodes, F)
+            C = bins_f @ feat_oh.T  # (n, n_nodes)
+            right = (C > bb[None, :].astype(jnp.float32) + 0.5).astype(jnp.float32)
+            go_right = (jnp.sum(node_onehot * right, axis=1) > 0.5).astype(jnp.int32)
+            splittable = (node_onehot @ do_split.astype(jnp.float32)) > 0.5
             node_of = jnp.where(splittable, 2 * node_of + go_right, 2 * node_of)
             # rows in non-split nodes keep descending the left spine; their
             # histogram mass is self-consistent and their leaf is reached at
@@ -185,10 +221,13 @@ def _fit_gbt_margins(
         Gl = leaf_onehot.T @ g
         Hl = leaf_onehot.T @ h
         wleaf = (-Gl / (Hl + LAMBDA)) * active
-        margin = margin + lr * wleaf[node_of]
+        margin = margin + lr * (leaf_onehot @ wleaf)
 
-        # heap layout bookkeeping: feat/thr/split arrays are heap-indexed via
-        # `base`; reindex them so prediction can walk the same route
+        # static heap bookkeeping: concatenated levels occupy [0, 2^D-1),
+        # padded by one inert slot to keep the (max_nodes,) layout
+        feat_t = jnp.concatenate(feats + [jnp.zeros((1,), jnp.int32)])
+        thr_t = jnp.concatenate(thrs + [jnp.zeros((1,), jnp.int32)])
+        split_t = jnp.concatenate(splits + [jnp.zeros((1,), bool)])
         return margin, (feat_t, thr_t, split_t, wleaf)
 
     keys = jax.random.split(rng, n_estimators)
@@ -232,6 +271,7 @@ def fit_gbt(
 def predict_margin(ens: GBTEnsemble, bins: jnp.ndarray, max_depth: int) -> jnp.ndarray:
     n, F = bins.shape
     max_nodes = ens.leaf.shape[1]
+    bins_f = bins.astype(jnp.float32)
 
     def one_tree(carry, tree):
         margin = carry
@@ -239,14 +279,20 @@ def predict_margin(ens: GBTEnsemble, bins: jnp.ndarray, max_depth: int) -> jnp.n
         node_of = jnp.zeros((n,), jnp.int32)
         for depth in range(max_depth):
             n_nodes = 2**depth
-            base = node_of + n_nodes - 1
-            nf = feat_t[base]
-            nb = thr_t[base]
-            do = split_t[base]
-            row_bin = jnp.take_along_axis(bins, nf[:, None], axis=1)[:, 0]
-            go_right = (row_bin > nb).astype(jnp.int32)
+            # level d's nodes live in the static heap range [2^d-1, 2^(d+1)-1)
+            feat_lvl = jax.lax.slice(feat_t, [n_nodes - 1], [2 * n_nodes - 1])
+            thr_lvl = jax.lax.slice(thr_t, [n_nodes - 1], [2 * n_nodes - 1])
+            split_lvl = jax.lax.slice(split_t, [n_nodes - 1], [2 * n_nodes - 1])
+            node_onehot = jax.nn.one_hot(node_of, n_nodes, dtype=jnp.float32)
+            # gather-free: same one-hot contraction routing as the fit
+            feat_oh = jax.nn.one_hot(feat_lvl, F, dtype=jnp.float32)
+            C = bins_f @ feat_oh.T  # (n, n_nodes)
+            right = (C > thr_lvl[None, :].astype(jnp.float32) + 0.5).astype(jnp.float32)
+            go_right = (jnp.sum(node_onehot * right, axis=1) > 0.5).astype(jnp.int32)
+            do = (node_onehot @ split_lvl.astype(jnp.float32)) > 0.5
             node_of = jnp.where(do, 2 * node_of + go_right, 2 * node_of)
-        margin = margin + ens.lr * wleaf[node_of]
+        leaf_onehot = jax.nn.one_hot(node_of, max_nodes, dtype=jnp.float32)
+        margin = margin + ens.lr * (leaf_onehot @ wleaf)
         return margin, None
 
     margin0 = jnp.full((n,), BASE_SCORE, jnp.float32)
@@ -331,6 +377,7 @@ def fit_gbt_sweep(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("max_depth", "n_estimators", "n_bins"))
 def fit_gbt_sweep_margins(
     bins, y, row_weights, rngs, learning_rates, gammas, min_child_weights,
     subsamples, colsamples, n_actives, max_depth: int, n_estimators: int,
