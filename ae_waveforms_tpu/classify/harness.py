@@ -90,11 +90,11 @@ def grid_search_cv(
 
     Own implementation (the reference uses sklearn GridSearchCV over
     single-point grids with joblib fan-out).  ``vectorized=True`` buckets the
-    candidates into two coarse depth groups and fits candidates x folds in
+    candidates into two coarse depth groups and fits chunks of candidates in
     vmapped device programs (every hyperparameter incl. depth is traced),
-    turning the 3000-fit sweep into a handful of compiled calls; binning then
-    uses the full-pool quantile edges (an approximation-detail difference
-    only)."""
+    turning the 3000-fit sweep into a handful of compiled calls.  Quantile
+    bin edges are computed per fold from the training rows only — the same
+    no-leakage discipline as the reference's GridSearchCV + XGBoost."""
     if n_candidates < 1:
         raise ValueError(f"n_candidates must be >= 1, got {n_candidates}")
     params = lhs_param_dicts(n_candidates, random_state=random_state)
@@ -165,8 +165,6 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
     y_f = np.asarray(y, np.float32)
     n = len(y_f)
     cv = len(folds)
-    edges = compute_bin_edges(X)
-    bins = jnp.asarray(bin_data(X, edges))
     cap = max(p["n_estimators"] for p in params)
 
     fold_masks = np.zeros((cv, n), np.float32)
@@ -174,10 +172,22 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
         fold_masks[f] = 1.0
         fold_masks[f, te] = 0.0  # held-out rows excluded from training
 
+    # per-fold quantile bin edges from the TRAINING rows only (the reference's
+    # GridSearchCV + XGBoost never sees held-out rows at fit time; full-pool
+    # edges would leak held-out feature distributions into model selection).
+    # Held-out rows are binned with their fold's training edges, exactly like
+    # unseen data at predict time.
+    bins_folds = np.zeros((cv, n, X.shape[1]), np.int32)
+    for f in range(cv):
+        tr_rows = fold_masks[f] > 0
+        fold_edges = compute_bin_edges(X[tr_rows])
+        bins_folds[f] = bin_data(X, fold_edges)
+
     # device-resident fold data: the bulk arrays cross the (possibly
     # tunnelled, ~minutes/MB) host->device link exactly once; each chunk
     # then ships only a handful of scalars per fit and pulls (S,) AUCs back
     fold_masks_dev = jnp.asarray(fold_masks)
+    bins_folds_dev = jnp.asarray(bins_folds)
     y_dev = jnp.asarray(y_f)
     F = max(len(te) for te in folds)
     te_idx = np.zeros((cv, F), np.int32)
@@ -199,26 +209,30 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
         return jax.vmap(one)(margins, fold_ids)
 
     @functools.partial(jax.jit, static_argnames=("depth",))
-    def _run_chunk(packed, depth):
+    def _run_chunk(packed, fold_id, depth):
         """One fused device program per chunk (fit + held-out AUC).
-        ``packed`` is the single (9, S) f32 upload carrying every per-fit
-        scalar — each host->device put costs seconds through a tunnelled
-        worker, so the chunk ships exactly one."""
+        Every fit in a chunk shares one CV fold, so the chunk's bin matrix
+        (that fold's training-row quantile edges) stays unbatched and its
+        one-hot indicator is traced once.  ``packed`` is the single (8, S)
+        f32 upload carrying every per-fit scalar — each host->device put
+        costs seconds through a tunnelled worker, so the chunk ships
+        exactly one."""
         lr, gm, mc, sb, cl = packed[0], packed[1], packed[2], packed[3], packed[4]
         na = packed[5].astype(jnp.int32)
         dl = packed[6].astype(jnp.int32)
-        fold_ids = packed[7].astype(jnp.int32)
-        seeds = packed[8].astype(jnp.uint32)
+        seeds = packed[7].astype(jnp.uint32)
         rngs = jax.vmap(jax.random.PRNGKey)(seeds)
-        row_w = jnp.take(fold_masks_dev, fold_ids, axis=0)
+        S = packed.shape[1]
+        row_w = jnp.broadcast_to(fold_masks_dev[fold_id], (S, n))
+        bins_fold = bins_folds_dev[fold_id]
         # the boosting carry already holds every pool row's margin (held-out
         # rows route through the trees with zero gradient weight), so no
         # second tree traversal is needed for CV scoring
         _, margins = fit_gbt_sweep_margins(
-            bins, y_dev, row_w, rngs, lr, gm, mc, sb, cl, na,
+            bins_fold, y_dev, row_w, rngs, lr, gm, mc, sb, cl, na,
             max_depth=depth, n_estimators=cap, depth_limits=dl,
         )
-        return _fold_aucs(margins, fold_ids)
+        return _fold_aucs(margins, jnp.broadcast_to(fold_id, (S,)))
 
     # group candidates into coarse depth buckets; depth itself is traced
     # (depth_limits), so each bucket compiles once regardless of the mix
@@ -229,51 +243,53 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
     for i, p in enumerate(params):
         by_depth.setdefault(bucket_of(int(p["max_depth"])), []).append(i)
 
-    mean_scores = np.zeros(len(params))
+    fold_scores = np.zeros((len(params), cv))
     done = 0
 
-    def dispatch(chunk, depth):
+    def dispatch(chunk, fold, depth):
         """Enqueue one chunk's fit + predict + held-out AUC; returns the
         (S,) device AUC vector without blocking (JAX async dispatch).  Per
         chunk only the traced hyperparameter scalars go up and S floats
-        come back — the row weights are gathered on device from the
-        resident fold masks."""
-        S = len(chunk) * cv
-        packed = np.zeros((9, S), np.float32)
+        come back — the row weights and fold bins live on device."""
+        S = len(chunk)
+        packed = np.zeros((8, S), np.float32)
         for j, ci in enumerate(chunk):
             p = params[ci]
-            for f in range(cv):
-                s = j * cv + f
-                packed[:, s] = (
-                    p["learning_rate"], p["gamma"], p["min_child_weight"],
-                    p["subsample"], p["colsample_bytree"], p["n_estimators"],
-                    p["max_depth"], f, random_state,
-                )
-        return _run_chunk(jnp.asarray(packed), depth)
+            packed[:, j] = (
+                p["learning_rate"], p["gamma"], p["min_child_weight"],
+                p["subsample"], p["colsample_bytree"], p["n_estimators"],
+                p["max_depth"], random_state,
+            )
+        return _run_chunk(jnp.asarray(packed), jnp.asarray(fold, jnp.int32), depth)
 
-    def score(chunk, aucs_dev):
+    def score(chunk, fold, aucs_dev):
         nonlocal done
         aucs = np.asarray(aucs_dev)  # (S,) — blocks on the device queue
         for j, ci in enumerate(chunk):
-            mean_scores[ci] = float(np.mean(aucs[j * cv : (j + 1) * cv]))
+            fold_scores[ci, fold] = aucs[j]
         done += len(chunk)
         if verbose:
-            print(f"grid search {done}/{len(params)}: best AUC {mean_scores.max():.4f}")
+            print(
+                f"grid search {done}/{len(params) * cv} fold-fits: "
+                f"best AUC {fold_scores.mean(axis=1).max():.4f}"
+            )
 
     # one-chunk lookahead: while the device runs chunk k+1, the host pulls
     # chunk k's margins and scores its AUCs — host work and transfers hide
     # behind device execution instead of serialising with it
     pending = None
     for depth, idxs in sorted(by_depth.items()):
-        for c0 in range(0, len(idxs), max(1, fits_per_call // cv)):
-            chunk = idxs[c0 : c0 + max(1, fits_per_call // cv)]
-            margins_dev = dispatch(chunk, depth)
-            if pending is not None:
-                score(*pending)
-            pending = (chunk, margins_dev)
+        for fold in range(cv):
+            for c0 in range(0, len(idxs), max(1, fits_per_call)):
+                chunk = idxs[c0 : c0 + max(1, fits_per_call)]
+                aucs_dev = dispatch(chunk, fold, depth)
+                if pending is not None:
+                    score(*pending)
+                pending = (chunk, fold, aucs_dev)
     if pending is not None:
         score(*pending)
 
+    mean_scores = fold_scores.mean(axis=1)
     best = int(np.argmax(mean_scores))
     return {"best_params": params[best], "best_score": float(mean_scores[best])}
 
