@@ -420,13 +420,19 @@ def ppv_analysis(
     size: int = 6000,
     n_seeds: int = 25,
     threshold: float = 0.5,
+    vectorized: bool = False,
 ) -> Dict:
     """Median/IQR AUC and PPV at the given threshold for one training size —
-    the north-star hypokalaemia PPV metric (analysis_PPV_hypokalaemia.py)."""
+    the north-star hypokalaemia PPV metric (analysis_PPV_hypokalaemia.py).
+    ``vectorized=True`` fits all seeds in one vmapped device program."""
     size = min(size, len(data.control_train), len(data.sick_train))
     aucs, ppvs = [], []
-    for seed in range(n_seeds):
-        proba = _fit_eval(data, size, seed, best_params, None)
+    if vectorized:
+        probas = _fit_eval_vectorized(data, size, n_seeds, best_params, None)
+        seed_probas = [probas[s] for s in range(n_seeds)]
+    else:
+        seed_probas = [_fit_eval(data, size, seed, best_params, None) for seed in range(n_seeds)]
+    for proba in seed_probas:
         aucs.append(roc_auc_score(data.y_test, proba))
         ppvs.append(precision_score(data.y_test, (proba >= threshold).astype(int)))
     result = {

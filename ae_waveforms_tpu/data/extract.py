@@ -43,6 +43,53 @@ class CaseResult:
     n_windows_raw: int = 0  # before QC
 
 
+def _window_batch_kernel_jit():
+    """Build (once) the fused per-window pipeline: R peaks -> QC -> median
+    beat -> delineation -> features, all inside ONE jitted device program
+    returning ONE packed (B, 357) float32 array
+    ``[keep, valid, median(320), features(35)]``.
+
+    Through a tunnelled accelerator each dispatch/pull costs a ~100 ms relay
+    round trip; the unfused path (5 dispatches + host keep-compression
+    between them) was relay-bound at ~12 windows/s.  Dropped windows flow
+    through the whole pipeline with their keep flag low and are sliced out
+    on the host — redundant device compute is far cheaper than a round trip.
+    """
+    global _WINDOW_BATCH_KERNEL
+    if _WINDOW_BATCH_KERNEL is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from ae_waveforms_tpu.signals.delineate_jax import delineate_batch
+        from ae_waveforms_tpu.signals.features_jax import feature_rows_batch
+
+        @functools.partial(jax.jit, static_argnames=("fs",))
+        def kernel(samples, fs, pvc_threshold, sd_threshold):
+            peaks, n_peaks = find_rpeaks_batch(samples, fs)
+            keep = qc_mask(samples, peaks, n_peaks, fs, pvc_threshold, sd_threshold)
+            medians = median_beat_batch(samples, peaks, n_peaks)
+            fid = delineate_batch(samples, peaks, n_peaks, fs)
+            rows = feature_rows_batch(samples, peaks, n_peaks, fid, fs)
+            valid = n_peaks > 0
+            return jnp.concatenate(
+                [
+                    keep[:, None].astype(jnp.float32),
+                    valid[:, None].astype(jnp.float32),
+                    medians.astype(jnp.float32),
+                    rows.astype(jnp.float32),
+                ],
+                axis=1,
+            )
+
+        _WINDOW_BATCH_KERNEL = kernel
+    return _WINDOW_BATCH_KERNEL
+
+
+_WINDOW_BATCH_KERNEL = None
+
+
 def _pad_batch(arr: np.ndarray, bucket: int = 16):
     """Pad the leading dim to the next multiple of ``bucket`` (zero rows);
     returns (padded, n_real)."""
@@ -319,31 +366,31 @@ def extract_cases_batched(
         spans = np.cumsum([0] + [len(s) for _, s, _ in pending])
 
         samples_f32, n_real = _pad_batch(all_samples.astype(np.float32))
-        peaks, n_peaks = find_rpeaks_batch(samples_f32, cfg.sampling_frequency)
-        keep = qc_mask(
-            samples_f32, peaks, n_peaks, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg
-        )
-        peaks = np.asarray(peaks)[:n_real]
-        n_peaks = np.asarray(n_peaks)[:n_real]
-        keep = np.asarray(keep)[:n_real]
-
-        kept = all_samples[keep]
-        kept_peaks, kept_n = peaks[keep], n_peaks[keep]
-        kept_f32, n_kept = _pad_batch(kept.astype(np.float32))[0], len(kept)
-        peaks_p, _ = _pad_batch(kept_peaks)
-        n_peaks_p, _ = _pad_batch(kept_n)
-        medians = np.asarray(median_beat_batch(kept_f32, peaks_p, n_peaks_p))[:n_kept]
-
-        if cfg.delineation_engine == "device" and n_kept:
-            from ae_waveforms_tpu.signals.delineate_jax import delineate_batch
-            from ae_waveforms_tpu.signals.features_jax import feature_rows_batch
-
-            fiducials = delineate_batch(kept_f32, peaks_p, n_peaks_p, cfg.sampling_frequency)
-            rows = np.asarray(
-                feature_rows_batch(kept_f32, peaks_p, n_peaks_p, fiducials, cfg.sampling_frequency)
-            )[:n_kept]
-            valid = kept_n > 0
+        if cfg.delineation_engine == "device":
+            # ONE dispatch + ONE pull per batch (see _window_batch_kernel_jit)
+            kernel = _window_batch_kernel_jit()
+            packed = np.asarray(
+                kernel(samples_f32, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg)
+            )[:n_real]
+            keep = packed[:, 0] > 0.5
+            medians = packed[keep, 2:322]
+            rows = packed[keep, 322:357].astype(np.float64)
+            valid = packed[keep, 1] > 0.5
         else:
+            peaks, n_peaks = find_rpeaks_batch(samples_f32, cfg.sampling_frequency)
+            keep = qc_mask(
+                samples_f32, peaks, n_peaks, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg
+            )
+            peaks = np.asarray(peaks)[:n_real]
+            n_peaks = np.asarray(n_peaks)[:n_real]
+            keep = np.asarray(keep)[:n_real]
+
+            kept = all_samples[keep]
+            kept_peaks, kept_n = peaks[keep], n_peaks[keep]
+            kept_f32, n_kept = _pad_batch(kept.astype(np.float32))[0], len(kept)
+            peaks_p, _ = _pad_batch(kept_peaks)
+            n_peaks_p, _ = _pad_batch(kept_n)
+            medians = np.asarray(median_beat_batch(kept_f32, peaks_p, n_peaks_p))[:n_kept]
             peak_lists = [list(map(int, p[:k])) for p, k in zip(kept_peaks, kept_n)]
             rows, valid = _feature_rows(kept, peak_lists, cfg, peaks_padded=kept_peaks, n_peaks=kept_n)
 

@@ -1,12 +1,25 @@
-"""Headline benchmark: flagship LSTM-autoencoder training throughput.
+"""Driver benchmark surface: one JSON line per metric.
 
-Measures fused train-step throughput (forward + backward + Adam update,
-batch 128 x 320 x 1, the reference's training configuration) on the
-available accelerator, against a live torch-CPU implementation of the same
-architecture — the reference's own compute stack (torch, CPU fallback) on
-this machine.
+Headline (first line): flagship LSTM-autoencoder fused train-step
+throughput (forward + backward + Adam, batch 128 x 320 x 1 — the
+reference's training configuration, main_ae.py:58-66) vs a live torch-CPU
+implementation of the same architecture (the reference's own compute
+stack on this machine).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Additional lines (best-effort; each skipped on error):
+  extraction_throughput       fused device window pipeline (R peaks -> QC ->
+                              median beat -> delineation -> features, ONE
+                              dispatch) vs the host per-case python path
+                              (ref hot loop: data_extract_vitaldb.py:127-164)
+  gbt_grid_candidates_per_s   vectorized 3-fold CV GBT sweep rate vs sklearn
+                              HistGradientBoostingClassifier (C++ core) on
+                              the same task (ref: main_ae_classify.py:57-75)
+  sigma_eval_throughput       batched device Gaussian-reconstruction
+                              objective (sigma-map evaluations/s) vs a
+                              numpy per-sample loop (ref: analysis_...:63-90)
+
+Every metric prints {"metric", "value", "unit", "vs_baseline"}; vs_baseline
+is speedup over the reference-equivalent CPU path (higher is better).
 """
 
 from __future__ import annotations
@@ -18,6 +31,8 @@ import numpy as np
 
 BATCH, SEQ, LATENT = 128, 320, 10
 
+
+# --------------------------- headline: AE training ---------------------------
 
 def bench_tpu(n_steps: int = 30) -> float:
     import jax
@@ -44,11 +59,11 @@ def bench_tpu(n_steps: int = 30) -> float:
 
     key = jax.random.PRNGKey(1)
     params, opt_state, loss = step(params, opt_state, x, key)  # compile
-    jax.block_until_ready(loss)
+    np.asarray(loss)  # a transfer is the only reliable sync through the relay
     t0 = time.perf_counter()
     for _ in range(n_steps):
         params, opt_state, loss = step(params, opt_state, x, key)
-    jax.block_until_ready(loss)
+    np.asarray(loss)
     dt = time.perf_counter() - t0
     return n_steps * BATCH / dt
 
@@ -90,7 +105,6 @@ def bench_torch_cpu(n_steps: int = 3) -> float:
     opt = torch.optim.Adam(model.parameters(), lr=1e-3)
     crit = nn.MSELoss()
     x = torch.randn(BATCH, SEQ, 1)
-    # warmup
     opt.zero_grad()
     crit(model(x), x).backward()
     opt.step()
@@ -102,6 +116,172 @@ def bench_torch_cpu(n_steps: int = 3) -> float:
         opt.step()
     dt = time.perf_counter() - t0
     return n_steps * BATCH / dt
+
+
+# ------------------------------- extraction ---------------------------------
+
+def _synthetic_windows(n_windows: int, seed: int = 0):
+    """z-scored 20-s windows from synthetic records, the fused kernel's
+    input contract (extract.py:_windows_of_case)."""
+    from ae_waveforms_tpu.core.config import ExtractionConfig
+    from ae_waveforms_tpu.data.extract import _windows_of_case
+    from ae_waveforms_tpu.data.synthetic import synthetic_ecg_record
+
+    cfg = ExtractionConfig()
+    out = []
+    cid = 0
+    while sum(len(s) for s, _ in out) < n_windows:
+        rec = synthetic_ecg_record(duration_s=220.0, seed=seed + cid)[:, None]
+        samples, _ = _windows_of_case(cid, rec, cfg)
+        out.append((samples, None))
+        cid += 1
+    samples = np.concatenate([s for s, _ in out], axis=0)[:n_windows]
+    return samples, cfg
+
+
+def bench_extraction_device(n_windows: int = 512) -> float:
+    from ae_waveforms_tpu.data.extract import _pad_batch, _window_batch_kernel_jit
+
+    samples, cfg = _synthetic_windows(n_windows)
+    samples_f32, _ = _pad_batch(samples.astype(np.float32))
+    kernel = _window_batch_kernel_jit()
+    np.asarray(kernel(samples_f32, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg))
+    t0 = time.perf_counter()
+    np.asarray(kernel(samples_f32, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg))
+    dt = time.perf_counter() - t0
+    return n_windows / dt
+
+
+def bench_extraction_host(n_windows: int = 24) -> float:
+    """Host python path: per-window R peaks + QC + median + python DWT
+    delineation + features (the reference's per-case loop shape)."""
+    from ae_waveforms_tpu.core.config import ExtractionConfig
+    from ae_waveforms_tpu.data.extract import extract_case
+    from ae_waveforms_tpu.data.synthetic import synthetic_ecg_record
+
+    cfg = ExtractionConfig(delineation_engine="python")
+    done = 0
+    t0 = time.perf_counter()
+    cid = 0
+    while done < n_windows:
+        rec = synthetic_ecg_record(duration_s=220.0, seed=100 + cid)[:, None]
+        r = extract_case(cid, lambda _cid: rec, cfg, cache_dir=None)
+        done += r.n_windows_raw
+        cid += 1
+    dt = time.perf_counter() - t0
+    return done / dt
+
+
+# ------------------------------- GBT sweep ----------------------------------
+
+GBT_N, GBT_F, GBT_TREES, GBT_DEPTH = 12500, 10, 100, 6
+
+
+def _gbt_task():
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((GBT_N, GBT_F)).astype(np.float32)
+    y = (X[:, 0] + 0.5 * X[:, 1] + 0.3 * rng.standard_normal(GBT_N) > 0).astype(np.float32)
+    return X, y
+
+
+def bench_gbt_device(chunk: int = 24) -> float:
+    """Candidates/s of the vectorized 3-fold grid-search fit path."""
+    import jax
+    import jax.numpy as jnp
+
+    from ae_waveforms_tpu.classify.gbt import bin_data, compute_bin_edges, fit_gbt_sweep_margins
+
+    X, y = _gbt_task()
+    bins = jnp.asarray(bin_data(X, compute_bin_edges(X, 256)))
+    row_w = jnp.asarray((np.random.default_rng(1).uniform(size=(chunk, GBT_N)) > 0.33).astype(np.float32))
+    rngs = jax.vmap(jax.random.PRNGKey)(np.arange(chunk, dtype=np.uint32))
+    args = (bins, jnp.asarray(y), row_w, rngs,
+            jnp.full(chunk, 0.1, jnp.float32), jnp.full(chunk, 1.0, jnp.float32),
+            jnp.full(chunk, 3.0, jnp.float32), jnp.full(chunk, 0.8, jnp.float32),
+            jnp.full(chunk, 0.8, jnp.float32), jnp.full(chunk, GBT_TREES, jnp.int32))
+    kw = dict(max_depth=GBT_DEPTH, n_estimators=GBT_TREES, n_bins=256)
+    np.asarray(fit_gbt_sweep_margins(*args, **kw)[1])
+    t0 = time.perf_counter()
+    np.asarray(fit_gbt_sweep_margins(*args, **kw)[1])
+    dt = time.perf_counter() - t0
+    return (chunk / 3) / dt  # one candidate = 3 CV fold fits
+
+
+def bench_gbt_sklearn() -> float:
+    """Candidates/s for sklearn's C++ histogram GBDT on the same task."""
+    from sklearn.ensemble import HistGradientBoostingClassifier
+
+    X, y = _gbt_task()
+    sel = np.random.default_rng(1).uniform(size=GBT_N) > 0.33
+    m = HistGradientBoostingClassifier(
+        max_depth=GBT_DEPTH, max_iter=GBT_TREES, learning_rate=0.1, max_bins=255
+    )
+    t0 = time.perf_counter()
+    m.fit(X[sel], y[sel])
+    dt = time.perf_counter() - t0
+    return 1.0 / (3 * dt)  # one candidate = 3 CV fold fits
+
+
+# ------------------------------ sigma search --------------------------------
+
+def _sigma_inputs(n_beats: int = 256):
+    """Plausible fiducial feature rows: monotone occurrence-order x times
+    scattered into the 20 fiducial columns per the parity reindex tables."""
+    from ae_waveforms_tpu.traditional.sigma_search import FIDUCIAL_X_ORDER, FIDUCIAL_Y_ORDER
+
+    rng = np.random.default_rng(0)
+    feats = np.full((n_beats, 35), np.nan)
+    occ_x = np.sort(rng.uniform(-100.0, 200.0, (n_beats, 10)), axis=1)  # ms
+    occ_y = rng.normal(-0.3, 0.15, (n_beats, 10))
+    for k in range(10):
+        feats[:, FIDUCIAL_X_ORDER[k]] = occ_x[:, k]
+        feats[:, FIDUCIAL_Y_ORDER[k]] = occ_y[:, k]
+    waves = rng.normal(0, 0.2, (n_beats, 320)).astype(np.float32)
+    return feats, waves
+
+
+def bench_sigma_device(n_maps: int = 64) -> float:
+    from ae_waveforms_tpu.traditional.sigma_search import make_objective, prepare_reconstruction_inputs
+
+    feats, waves = _sigma_inputs()
+    fx, fy, bs, xt = prepare_reconstruction_inputs(feats)
+    obj = make_objective(fx, fy, bs, xt, waves, chunk=n_maps)
+    maps = np.random.default_rng(0).integers(1, 6, size=(n_maps, 12)).astype(np.float32)
+    obj(maps)  # compile
+    t0 = time.perf_counter()
+    obj(maps)
+    dt = time.perf_counter() - t0
+    return n_maps / dt
+
+
+def bench_sigma_host(n_maps: int = 2) -> float:
+    """Numpy per-sample loop (the reference's objective shape)."""
+    from ae_waveforms_tpu.traditional.reconstruction import reconstruct_gaussian
+    from ae_waveforms_tpu.traditional.sigma_search import prepare_reconstruction_inputs
+
+    feats, waves = _sigma_inputs()
+    fx, fy, bs, xt = prepare_reconstruction_inputs(feats)
+    maps = np.random.default_rng(0).integers(1, 6, size=(n_maps, 12)).astype(np.float32)
+    t0 = time.perf_counter()
+    for m in maps:
+        errs = []
+        for i in range(len(fx)):
+            rec = np.asarray(reconstruct_gaussian(fx[i], fy[i], xt, bs[i], m))
+            errs.append(np.mean((rec - waves[i]) ** 2))
+        float(np.mean(errs))
+    dt = time.perf_counter() - t0
+    return n_maps / dt
+
+
+# --------------------------------- driver -----------------------------------
+
+def _emit(metric: str, value: float, unit: str, baseline: float) -> None:
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 2) if baseline else None,
+    }), flush=True)
 
 
 def _bench_tpu_resilient() -> float:
@@ -130,21 +310,27 @@ def _bench_tpu_resilient() -> float:
 
 
 def main():
+    import sys
+
     from ae_waveforms_tpu.core.runtime import enable_compilation_cache
 
     enable_compilation_cache()
+    # headline first: the driver's primary line
     tpu = _bench_tpu_resilient()
     ref = bench_torch_cpu()
-    print(
-        json.dumps(
-            {
-                "metric": "lstm_ae_train_throughput",
-                "value": round(tpu, 1),
-                "unit": "samples/s",
-                "vs_baseline": round(tpu / ref, 2),
-            }
-        )
-    )
+    _emit("lstm_ae_train_throughput", tpu, "samples/s", ref)
+
+    for name, dev_fn, host_fn, unit in [
+        ("extraction_throughput", bench_extraction_device, bench_extraction_host, "windows/s"),
+        ("gbt_grid_candidates_per_s", bench_gbt_device, bench_gbt_sklearn, "candidates/s"),
+        ("sigma_eval_throughput", bench_sigma_device, bench_sigma_host, "sigma-maps/s"),
+    ]:
+        try:
+            dev = dev_fn()
+            host = host_fn()
+            _emit(name, dev, unit, host)
+        except Exception as e:
+            print(f"# {name} skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -54,9 +54,6 @@ def main() -> None:
     stages = {}
 
     t0 = time.perf_counter()
-    # fits_per_call=24: the tunnelled worker faults on the S=48 variant of
-    # the sweep program after a crash-restart (observed 2026-08-16); 24 is
-    # stable and the warm per-fit cost is launch-bound anyway
     result = grid_search_cv(
         X, y, n_candidates=1000, cv=3, vectorized=True, verbose=True, fits_per_call=24
     )
@@ -68,7 +65,7 @@ def main() -> None:
     stages["size_seed_sweep_11x25_s"] = round(time.perf_counter() - t0, 1)
 
     t0 = time.perf_counter()
-    ppv = ppv_analysis(data, result["best_params"], size=6000, n_seeds=25)
+    ppv = ppv_analysis(data, result["best_params"], size=6000, n_seeds=25, vectorized=True)
     stages["ppv_25seed_s"] = round(time.perf_counter() - t0, 1)
 
     out = {
