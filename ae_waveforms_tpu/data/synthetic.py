@@ -14,7 +14,13 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["synthetic_ecg_record", "synthetic_beat"]
+__all__ = [
+    "synthetic_ecg_record",
+    "synthetic_beat",
+    "pathological_ecg_record",
+    "pathological_beat",
+    "PATHOLOGICAL_WAVES",
+]
 
 # (latency s relative to R, amplitude mV, width s) per wave
 _WAVES = {
@@ -71,4 +77,74 @@ def synthetic_ecg_record(
     for _ in range(nan_gaps):
         g0 = rng.integers(0, T - fs)
         sig[g0 : g0 + rng.integers(fs // 2, 2 * fs)] = np.nan
+    return sig
+
+
+# pathological morphology variants for delineation stress fixtures
+# (each entry overrides/extends the default _WAVES gaussian components)
+PATHOLOGICAL_WAVES = {
+    # T wave with a negative then positive lobe
+    "biphasic_t": {
+        "P": (-0.17, 0.15, 0.024),
+        "Q": (-0.025, -0.12, 0.010),
+        "R": (0.0, 1.1, 0.011),
+        "S": (0.026, -0.20, 0.011),
+        "T_neg": (0.20, -0.18, 0.035),
+        "T_pos": (0.30, 0.22, 0.040),
+    },
+    # no atrial activity (e.g. atrial fibrillation's absent P)
+    "absent_p": {
+        "Q": (-0.025, -0.12, 0.010),
+        "R": (0.0, 1.1, 0.011),
+        "S": (0.026, -0.20, 0.011),
+        "T": (0.24, 0.31, 0.045),
+    },
+    # wide, slurred QRS (bundle-branch-block-like): Q/S fused into R
+    "fused_qrs": {
+        "P": (-0.19, 0.12, 0.024),
+        "R": (0.0, 0.9, 0.030),
+        "S": (0.05, -0.45, 0.028),
+        "T": (0.30, 0.28, 0.050),
+    },
+    # T taller than R (hyperkalaemia-like) — stresses peak disambiguation
+    "tall_t": {
+        "P": (-0.17, 0.10, 0.024),
+        "Q": (-0.025, -0.10, 0.010),
+        "R": (0.0, 0.8, 0.011),
+        "S": (0.026, -0.15, 0.011),
+        "T": (0.26, 0.75, 0.055),
+    },
+}
+
+
+def pathological_beat(t: np.ndarray, morphology: str, amp_scale: float = 1.0) -> np.ndarray:
+    """Beat morphology from PATHOLOGICAL_WAVES evaluated at times t."""
+    waves = PATHOLOGICAL_WAVES[morphology]
+    y = np.zeros_like(t)
+    for mu, a, s in waves.values():
+        y = y + a * amp_scale * np.exp(-((t - mu) ** 2) / (2 * s**2))
+    return y
+
+
+def pathological_ecg_record(
+    morphology: str,
+    duration_s: float = 22.0,
+    fs: int = 500,
+    hr_bpm: float = 70.0,
+    noise_std: float = 0.01,
+    seed: int = 0,
+) -> np.ndarray:
+    """A record built from one PATHOLOGICAL_WAVES morphology — adversarial
+    delineation fixtures (biphasic T, absent P, fused QRS, tall T)."""
+    rng = np.random.default_rng(seed)
+    T = int(duration_s * fs)
+    t = np.arange(T) / fs
+    sig = np.zeros(T)
+    cur = rng.uniform(0.4, 0.9)
+    while cur < duration_s:
+        lo = max(0, int((cur - 0.4) * fs))
+        hi = min(T, int((cur + 0.5) * fs))
+        sig[lo:hi] += pathological_beat(t[lo:hi] - cur, morphology, 1.0 + rng.normal(0, 0.02))
+        cur += 60.0 / max(hr_bpm + rng.normal(0, 1.5), 20.0)
+    sig += noise_std * rng.standard_normal(T)
     return sig

@@ -131,7 +131,7 @@ def _synthetic_windows(n_windows: int, seed: int = 0):
     out = []
     cid = 0
     while sum(len(s) for s, _ in out) < n_windows:
-        rec = synthetic_ecg_record(duration_s=220.0, seed=seed + cid)[:, None]
+        rec = synthetic_ecg_record(duration_s=220.0, seed=seed + cid)
         samples, _ = _windows_of_case(cid, rec, cfg)
         out.append((samples, None))
         cid += 1
@@ -164,8 +164,8 @@ def bench_extraction_host(n_windows: int = 24) -> float:
     t0 = time.perf_counter()
     cid = 0
     while done < n_windows:
-        rec = synthetic_ecg_record(duration_s=220.0, seed=100 + cid)[:, None]
-        r = extract_case(cid, lambda _cid: rec, cfg, cache_dir=None)
+        rec = synthetic_ecg_record(duration_s=220.0, seed=100 + cid)
+        r = extract_case(cid, rec, cfg, cache_dir=None)
         done += r.n_windows_raw
         cid += 1
     dt = time.perf_counter() - t0

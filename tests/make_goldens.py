@@ -50,6 +50,25 @@ def build():
     plist = list(map(int, np.asarray(pk)[0][: int(npk[0])]))
     fid = delineate(win, plist, 500)
 
+    # adversarial windows: pathological morphologies (biphasic T, absent P,
+    # fused QRS, tall T) frozen with their host-f64 fiducials
+    from ae_waveforms_tpu.data.synthetic import PATHOLOGICAL_WAVES, pathological_ecg_record
+
+    patho = {}
+    for morph in sorted(PATHOLOGICAL_WAVES):
+        pr = pathological_ecg_record(morph, duration_s=22.0, seed=5)
+        pw = zscore(pr)
+        pw = butterworth(pw, "high", 1.0, 500, 4, precision="float64")
+        pw = butterworth(pw, "low", 30.0, 500, 4, precision="float64")
+        pwin = np.asarray(zscore(pw[:10000]), np.float64)
+        ppk, pnpk = find_rpeaks_batch(pwin[None].astype(np.float32), 500)
+        pl = list(map(int, np.asarray(ppk)[0][: int(pnpk[0])]))
+        pfid = delineate(pwin, pl, 500)
+        patho[f"patho_{morph}_window"] = pwin
+        patho[f"patho_{morph}_peaks"] = np.asarray(pl)
+        for k in FIDUCIAL_NAMES:
+            patho[f"patho_{morph}_fid_{k}"] = np.asarray(pfid[k], float)
+
     np.savez(
         GOLDEN,
         waves=case.waves,
@@ -61,8 +80,10 @@ def build():
         window=win,
         peaks=np.asarray(plist),
         **{f"fid_{k}": np.asarray(fid[k], float) for k in FIDUCIAL_NAMES},
+        **patho,
     )
-    print(f"wrote {GOLDEN}: {len(case.waves)} case rows, {len(plist)} beats")
+    print(f"wrote {GOLDEN}: {len(case.waves)} case rows, {len(plist)} beats, "
+          f"{len(PATHOLOGICAL_WAVES)} pathological windows")
 
 
 if __name__ == "__main__":

@@ -77,3 +77,24 @@ def test_native_delineator_matches_golden_fiducials():
         assert np.isnan(got).tolist() == np.isnan(want).tolist()
         m = ~np.isnan(want)
         np.testing.assert_array_equal(got[m], want[m])
+
+
+def test_pathological_windows_match_golden_fiducials():
+    """Host delineator regression on the adversarial morphologies."""
+    from ae_waveforms_tpu.core.schema import FIDUCIAL_NAMES
+    from ae_waveforms_tpu.data.synthetic import PATHOLOGICAL_WAVES
+    from ae_waveforms_tpu.signals.delineate import delineate
+
+    z = _load()
+    if not any(f.startswith("patho_") for f in z.files):
+        pytest.skip("golden predates the pathological fixtures")
+    for morph in sorted(PATHOLOGICAL_WAVES):
+        win = z[f"patho_{morph}_window"]
+        peaks = list(map(int, z[f"patho_{morph}_peaks"]))
+        fid = delineate(win, peaks, 500)
+        for k in FIDUCIAL_NAMES:
+            got = np.asarray(fid[k], float)
+            want = z[f"patho_{morph}_fid_{k}"]
+            assert np.isnan(got).tolist() == np.isnan(want).tolist(), (morph, k)
+            m = ~np.isnan(want)
+            np.testing.assert_array_equal(got[m], want[m], err_msg=f"{morph}/{k}")
