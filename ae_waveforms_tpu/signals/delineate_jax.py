@@ -36,14 +36,15 @@ assert W >= int(0.6 * ANALYSIS_RATE), "W must cover the T-onset search window"
 
 def _resample4(x: jnp.ndarray) -> jnp.ndarray:
     """Linear resample by exactly 4x (500 Hz -> 2000 Hz), matching
-    np.interp over endpoint=False grids."""
+    np.interp over endpoint=False grids.
+
+    Gather-free: out[4i+j] = (1-j/4) x[i] + (j/4) x[i+1] as a broadcast over
+    the (T, 4) grid (TPU gathers run orders of magnitude below VPU rate)."""
     n_in = x.shape[0]
-    n_out = 4 * n_in
-    idx_f = jnp.arange(n_out) * 0.25
-    lo = jnp.floor(idx_f).astype(jnp.int32)
-    hi = jnp.minimum(lo + 1, n_in - 1)
-    w = (idx_f - lo).astype(x.dtype)
-    return x[lo] * (1 - w) + x[hi] * w
+    x_next = jnp.concatenate([x[1:], x[-1:]])
+    w = (jnp.arange(4, dtype=x.dtype) * 0.25)[None, :]
+    out = x[:, None] * (1 - w) + x_next[:, None] * w
+    return out.reshape(4 * n_in)
 
 
 def _dwt_scales(x: jnp.ndarray, max_degree: int = 9) -> jnp.ndarray:
@@ -57,25 +58,46 @@ def _dwt_scales(x: jnp.ndarray, max_degree: int = 9) -> jnp.ndarray:
     pad = 2048  # covers the 9-scale growth (sum of 3 * 2^deg)
     approx = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
     details = []
+
+    def shifted(a, offset, length):
+        """conv-full term a[n - offset] over n in [0, length): a zero-padded
+        on the left.  The a-trous taps are all zero except 2 (g) / 4 (h)
+        entries, so the dense ~1500-tap jnp.convolve is replaced by these
+        shifted adds — same values, same left-to-right summation order as
+        np.convolve's ascending-k accumulation (zero terms add exactly 0)."""
+        right = max(0, length - offset - a.shape[0])
+        return jnp.concatenate(
+            [jnp.zeros((offset,), a.dtype), a, jnp.zeros((right,), a.dtype)]
+        )[:length]
+
     for deg in range(max_degree):
-        gap = np.zeros(2**deg - 1)
-        delay = 2**deg
-        g_taps = jnp.asarray(np.r_[2.0, gap, -2.0], x.dtype)
-        h_taps = jnp.asarray(np.r_[1 / 8, gap, 3 / 8, gap, 3 / 8, gap, 1 / 8], x.dtype)
-        detail = jnp.convolve(approx, g_taps, mode="full")[delay : delay + T]
-        smooth = jnp.convolve(approx, h_taps, mode="full")[delay : delay + T + pad]
+        s = 2**deg
+        delay = s
+        L = len(approx) + 3 * s  # long enough for every trimmed slice below
+        a0 = shifted(approx, 0, L)
+        a1 = shifted(approx, s, L)
+        a2 = shifted(approx, 2 * s, L)
+        a3 = shifted(approx, 3 * s, L)
+        # g_taps = [2, 0...0, -2] at offsets 0, s
+        detail = (2.0 * a0 + (-2.0) * a1)[delay : delay + T]
+        # h_taps = [1/8, 0..., 3/8, 0..., 3/8, 0..., 1/8] at 0, s, 2s, 3s
+        smooth = (((0.125 * a0 + 0.375 * a1) + 0.375 * a2) + 0.125 * a3)[delay : delay + T + pad]
         details.append(detail)
         approx = smooth
     return jnp.stack(details)
 
 
 def _window(sig: jnp.ndarray, start: jnp.ndarray, length: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fixed-W gather of sig[start : start+length] with validity mask."""
+    """Fixed-W contiguous window sig[start : start+length] with validity
+    mask.  A contiguous ``lax.dynamic_slice`` into a zero-padded buffer, NOT
+    an elementwise gather: TPU gathers run ~orders of magnitude below VPU
+    rate and these windows are taken per beat per fiducial search."""
     T = sig.shape[0]
     k = jnp.arange(W)
     idx = start + k
     valid = (k < length) & (idx >= 0) & (idx < T)
-    vals = sig[jnp.clip(idx, 0, T - 1)]
+    padded = jnp.concatenate([jnp.zeros((W,), sig.dtype), sig, jnp.zeros((W,), sig.dtype)])
+    vals = jax.lax.dynamic_slice(padded, (jnp.clip(start, -W, T) + W,), (W,))
     return jnp.where(valid, vals, 0.0), valid
 
 
@@ -130,7 +152,8 @@ def _tp_peak_one(ecg, dwt_row, start, length, eps_weight, expected_latency, symm
     nxt_cross = _next_index(cross)
 
     k = jnp.arange(W)
-    partner = jnp.where(k + 1 < W, nxt_peak[jnp.minimum(k + 1, W - 1)], BIG)
+    # nxt_peak[k+1] is a unit shift, not a gather
+    partner = jnp.concatenate([nxt_peak[1:], jnp.full((1,), BIG, nxt_peak.dtype)])
     cand = peaks & (partner < BIG) & (d > 0)
     cand = cand & (jnp.where(partner < W, d[jnp.clip(partner, 0, W - 1)], 0.0) < 0)
     idx_zero = nxt_cross  # first crossing at/after the positive peak

@@ -1,0 +1,254 @@
+"""Consolidated end-to-end chain: the SAME synthetic dataset through
+
+  (a) the reference-equivalent CPU path — host float64 extraction
+      (python DWT delineation), torch-CPU LSTM-AE training/inference
+      (the reference's own compute stack), sequential GBT classify, and
+  (b) the TPU path — fused device extraction kernel, JAX LSTM-AE under
+      jit, vectorized device grid search + PPV,
+
+one wall-clock ratio per stage and overall (BASELINE.md north star:
+>= 20x end-to-end).  Run on the real chip from the repo root:
+
+    python -m benchmarks.bench_e2e_chain
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N_CASES = 64
+DURATION_S = 220.0
+EPOCHS = 20
+BATCH = 128
+GS_CANDIDATES = 20
+LATENT = 10
+
+
+def _records():
+    from ae_waveforms_tpu.data.synthetic import synthetic_ecg_record
+
+    return [synthetic_ecg_record(duration_s=DURATION_S, seed=1000 + c) for c in range(N_CASES)]
+
+
+# ------------------------------ CPU reference path ---------------------------
+
+def cpu_extract(records):
+    from ae_waveforms_tpu.core.config import ExtractionConfig
+    from ae_waveforms_tpu.data.extract import extract_case
+
+    cfg = ExtractionConfig(precision="float64", delineation_engine="python")
+    waves, feats = [], []
+    for cid, rec in enumerate(records):
+        r = extract_case(cid, rec, cfg, cache_dir=None)
+        waves.append(r.waves)
+        feats.append(r.features)
+    return np.concatenate(waves), np.concatenate(feats)
+
+
+def cpu_train_test(waves, epochs=EPOCHS):
+    """torch-CPU LSTM autoencoder, the reference's training stack
+    (model_classes.py:8-45 architecture, Adam, MSE)."""
+    import torch
+    import torch.nn as nn
+
+    class AE(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.e1 = nn.LSTM(1, 128, batch_first=True)
+            self.e2 = nn.LSTM(128, 64, batch_first=True)
+            self.e3 = nn.LSTM(64, LATENT, batch_first=True)
+            self.d1 = nn.LSTM(LATENT, 64, batch_first=True)
+            self.d2 = nn.LSTM(64, 128, batch_first=True)
+            self.d3 = nn.LSTM(128, 1, batch_first=True)
+            self.lin = nn.Linear(1, 1)
+
+        def encode(self, x):
+            h, _ = self.e1(x)
+            h, _ = self.e2(h)
+            _, (hn, _) = self.e3(h)
+            return hn[-1]
+
+        def forward(self, x):
+            z = self.encode(x)
+            rep = z.unsqueeze(1).repeat(1, x.size(1), 1)
+            h, _ = self.d1(rep)
+            h, _ = self.d2(h)
+            h, _ = self.d3(h)
+            return self.lin(h)
+
+    x = torch.asarray(waves, dtype=torch.float32).unsqueeze(-1)
+    model = AE().train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    crit = nn.MSELoss()
+    g = torch.Generator().manual_seed(0)
+    for _ in range(epochs):
+        for i in torch.randperm(len(x), generator=g).split(BATCH):
+            opt.zero_grad()
+            loss = crit(model(x[i]), x[i])
+            loss.backward()
+            opt.step()
+    model.eval()
+    with torch.no_grad():
+        latents = torch.cat([model.encode(x[i : i + BATCH]) for i in range(0, len(x), BATCH)])
+        final = float(crit(model(x[:BATCH]), x[:BATCH]))
+    return latents.numpy(), final
+
+
+def cpu_classify(latents):
+    """Sequential GBT grid search + size sweep + PPV (the reference's
+    joblib/sequential CPU shape, using the same GBT implementation)."""
+    from ae_waveforms_tpu.classify.harness import (
+        grid_search_cv,
+        ppv_analysis,
+        prepare_class_data,
+        size_seed_sweep,
+    )
+
+    rng = np.random.default_rng(0)
+    control = latents + 0.05 * rng.standard_normal(latents.shape)
+    sick = latents + 0.8 + 0.05 * rng.standard_normal(latents.shape)
+    data = prepare_class_data(control, sick, test_size=max(50, len(latents) // 8))
+    X = np.concatenate([data.control_train, data.sick_train])
+    y = np.concatenate([np.zeros(len(data.control_train)), np.ones(len(data.sick_train))])
+    gs = grid_search_cv(X, y, n_candidates=GS_CANDIDATES, cv=3, vectorized=False)
+    size = min(200, len(data.control_train))
+    size_seed_sweep(data, gs["best_params"], sizes=[size // 2, size], n_seeds=25)
+    return ppv_analysis(data, gs["best_params"], size=size, n_seeds=25)
+
+
+# -------------------------------- TPU path -----------------------------------
+
+def tpu_extract(records):
+    from ae_waveforms_tpu.core.config import ExtractionConfig
+    from ae_waveforms_tpu.data.extract import extract_cases_batched
+
+    cfg = ExtractionConfig(delineation_engine="device")
+    recs = {cid: rec for cid, rec in enumerate(records)}
+    results = extract_cases_batched(
+        list(recs), lambda cid: recs[cid], cfg, cache_dir=None, windows_per_batch=512
+    )
+    return (
+        np.concatenate([r.waves for r in results]),
+        np.concatenate([r.features for r in results]),
+    )
+
+
+def tpu_train_test(waves, epochs=EPOCHS):
+    import jax
+    import jax.numpy as jnp
+
+    from ae_waveforms_tpu.models import lstm_ae
+    from ae_waveforms_tpu.train.optimizers import make_optimizer
+
+    x = jnp.asarray(waves[:, :, None], jnp.float32)
+    params = lstm_ae.init(jax.random.PRNGKey(0), LATENT)
+    optimizer = make_optimizer("adam", 1e-3)
+    opt_state = optimizer.init(params)
+    n = len(waves)
+    steps_per_epoch = (n + BATCH - 1) // BATCH
+
+    @jax.jit
+    def epoch(params, opt_state, x, key):
+        perm = jax.random.permutation(key, n)
+        # wrap-pad so every scan step sees a full batch
+        perm = jnp.concatenate([perm, perm])[: steps_per_epoch * BATCH]
+
+        def step(carry, i):
+            params, opt_state = carry
+            idx = jax.lax.dynamic_slice(perm, (i * BATCH,), (BATCH,))
+            xb = x[idx]
+
+            def loss_fn(p):
+                pred = lstm_ae.forward(p, xb, train=False)
+                return jnp.mean((pred - xb) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), jnp.arange(steps_per_epoch)
+        )
+        return params, opt_state, losses[-1]
+
+    key = jax.random.PRNGKey(1)
+    for _ in range(epochs):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = epoch(params, opt_state, x, k)
+    final = float(np.asarray(loss))
+
+    encode = jax.jit(lambda p, xb: lstm_ae.encode(p, xb))
+    lat = []
+    for i in range(0, n, 1024):
+        xb = x[i : i + 1024]
+        pad = 1024 - len(xb)
+        if pad:
+            xb = jnp.concatenate([xb, jnp.zeros((pad, *xb.shape[1:]), xb.dtype)])
+        z = np.asarray(encode(params, xb))
+        if z.ndim == 3:
+            z = z[:, :, 0]
+        lat.append(z[: len(x[i : i + 1024])])
+    return np.concatenate(lat), final
+
+
+def tpu_classify(latents):
+    from ae_waveforms_tpu.classify.harness import (
+        grid_search_cv,
+        ppv_analysis,
+        prepare_class_data,
+        size_seed_sweep,
+    )
+
+    rng = np.random.default_rng(0)
+    control = latents + 0.05 * rng.standard_normal(latents.shape)
+    sick = latents + 0.8 + 0.05 * rng.standard_normal(latents.shape)
+    data = prepare_class_data(control, sick, test_size=max(50, len(latents) // 8))
+    X = np.concatenate([data.control_train, data.sick_train])
+    y = np.concatenate([np.zeros(len(data.control_train)), np.ones(len(data.sick_train))])
+    gs = grid_search_cv(X, y, n_candidates=GS_CANDIDATES, cv=3, vectorized=True, fits_per_call=24)
+    size = min(200, len(data.control_train))
+    size_seed_sweep(data, gs["best_params"], sizes=[size // 2, size], n_seeds=25, vectorized=True)
+    return ppv_analysis(data, gs["best_params"], size=size, n_seeds=25, vectorized=True)
+
+
+def main():
+    records = _records()
+    print(f"{N_CASES} cases x {DURATION_S:.0f}s, {EPOCHS} epochs, "
+          f"{GS_CANDIDATES}-candidate grid search", flush=True)
+
+    stages = {}
+    for side, ex, tr, cl in [
+        ("tpu", tpu_extract, tpu_train_test, tpu_classify),
+        ("cpu", cpu_extract, cpu_train_test, cpu_classify),
+    ]:
+        t0 = time.perf_counter()
+        waves, feats = ex(records)
+        t1 = time.perf_counter()
+        latents, final = tr(waves)
+        t2 = time.perf_counter()
+        ppv = cl(latents)
+        t3 = time.perf_counter()
+        stages[side] = {
+            "extract_s": round(t1 - t0, 1),
+            "train_test_s": round(t2 - t1, 1),
+            "classify_s": round(t3 - t2, 1),
+            "total_s": round(t3 - t0, 1),
+            "n_windows": len(waves),
+            "final_loss": round(final, 4),
+            "median_ppv": round(ppv["median_ppv"], 4),
+        }
+        print(side, stages[side], flush=True)
+
+    ratio = {
+        k: round(stages["cpu"][k] / max(stages["tpu"][k], 1e-9), 1)
+        for k in ("extract_s", "train_test_s", "classify_s", "total_s")
+    }
+    print("E2E_RESULT " + json.dumps({"stages": stages, "speedup": ratio}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
