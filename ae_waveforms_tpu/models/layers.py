@@ -77,6 +77,79 @@ def lstm_apply(params: Params, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray
     return jnp.swapaxes(hs, 0, 1), h_last
 
 
+def lstm_stack_apply(
+    layer_params,
+    x: jnp.ndarray,
+    dropout_masks=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """A whole stack of LSTM layers in ONE ``lax.scan`` over time.
+
+    A stacked RNN consumes layer i-1's output at the SAME time step, so all
+    cells can advance together in one scan — identical math, 1/N the scan
+    iterations of per-layer scans.
+
+    MEASURED NEGATIVE RESULT on TPU (benchmarks/bench_lstm_stack.py, the
+    reference train config 128x320, fwd+bwd+Adam): 18.0 ms/step fused vs
+    13.7 ms/step for per-layer ``lstm_apply`` scans.  The per-layer form
+    hoists EVERY layer's input projection out of the scan into one large
+    (B*T, in) @ (in, 4H) MXU matmul; this fused form can only hoist layer
+    0's (later layers' inputs materialise step-by-step), so layers 1+ pay
+    an extra small matmul inside the scan body — which costs more than the
+    saved scan-iteration overhead.  Kept for documentation and for any
+    future config where inter-layer dropout masks must be resampled per
+    step; the model files use per-layer ``lstm_apply``.
+
+    ``dropout_masks``: optional list (len = n_layers - 1) of (B, T, H_i)
+    multiplicative masks applied to layer i's output before it feeds layer
+    i+1 (the reference drops between stacked layers, model_classes.py:26-30).
+    Returns (top-layer outputs (B, T, H_top), top-layer last hidden (B, H)).
+    """
+    B, T, _ = x.shape
+    n = len(layer_params)
+    # layer 0's input projection hoisted onto one big MXU matmul
+    p0 = layer_params[0]
+    gates_x1 = x @ p0["w_ih"].T + (p0["b_ih"] + p0["b_hh"])
+    w_hh_t = [p["w_hh"].T for p in layer_params]
+    w_ih_t = [p["w_ih"].T for p in layer_params[1:]]
+    bias = [p["b_ih"] + p["b_hh"] for p in layer_params[1:]]
+    Hs = [p["w_hh"].shape[1] for p in layer_params]
+
+    def cell(gates, h, c, wt):
+        gates = gates + h @ wt
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c = f * c + i * g
+        return o * jnp.tanh(c), c
+
+    def step(carry, inp):
+        gx1 = inp[0]
+        masks_t = inp[1:]
+        new_carry = []
+        feed = None
+        for li in range(n):
+            h, c = carry[li]
+            if li == 0:
+                gates = gx1
+            else:
+                gates = feed @ w_ih_t[li - 1] + bias[li - 1]
+            h, c = cell(gates, h, c, w_hh_t[li])
+            new_carry.append((h, c))
+            feed = h
+            if li < n - 1 and dropout_masks is not None:
+                feed = feed * masks_t[li]
+        return tuple(new_carry), feed  # feed == top-layer h
+
+    carry0 = tuple(
+        (jnp.zeros((B, Hs[i]), x.dtype), jnp.zeros((B, Hs[i]), x.dtype)) for i in range(n)
+    )
+    xs = (jnp.swapaxes(gates_x1, 0, 1),)
+    if dropout_masks is not None:
+        xs = xs + tuple(jnp.swapaxes(m, 0, 1) for m in dropout_masks)
+    carry, hs = jax.lax.scan(step, carry0, xs)
+    return jnp.swapaxes(hs, 0, 1), carry[n - 1][0]
+
+
 # ------------------------------ Linear --------------------------------------
 
 

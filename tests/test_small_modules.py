@@ -99,3 +99,50 @@ def test_vitaldb_gated_offline():
     assert rec is not None and rec.ndim == 1 and np.isfinite(rec).any()
     with pytest.raises(RuntimeError, match="vitaldb"):
         vitaldb_io.make_loader(["SNUADC/ECG_II"], synthetic_fallback=False)
+
+
+def test_lstm_stack_apply_matches_per_layer_scans():
+    """lstm_stack_apply (one scan over time for the whole stack) must match
+    the per-layer lstm_apply path exactly — outputs, last hidden, and the
+    between-layer dropout trajectory (same keys => same masks)."""
+    import jax.numpy as jnp
+
+    from ae_waveforms_tpu.models.layers import (
+        dropout,
+        lstm_apply,
+        lstm_init,
+        lstm_stack_apply,
+    )
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    layers = [
+        lstm_init(ks[0], 1, 16),
+        lstm_init(ks[1], 16, 8),
+        lstm_init(ks[2], 8, 4),
+    ]
+    x = jax.random.normal(ks[3], (3, 24, 1))
+
+    # eval path: no dropout
+    hs_seq, h = x, None
+    for p in layers:
+        hs_seq, h = lstm_apply(p, hs_seq)
+    hs_st, h_st = lstm_stack_apply(layers, x)
+    np.testing.assert_allclose(np.asarray(hs_st), np.asarray(hs_seq), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_st), np.asarray(h), atol=1e-6)
+
+    # train path: between-layer dropout, identical keys on both sides
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    h1, _ = lstm_apply(layers[0], x)
+    h1 = dropout(k1, h1, 0.2, True)
+    h2, _ = lstm_apply(layers[1], h1)
+    h2 = dropout(k2, h2, 0.2, True)
+    hs_seq, h = lstm_apply(layers[2], h2)
+
+    masks = [
+        dropout(k, jnp.ones((3, 24, p["w_hh"].shape[1]), x.dtype), 0.2, True)
+        for k, p in zip((k1, k2), layers[:-1])
+    ]
+    hs_st, h_st = lstm_stack_apply(layers, x, masks)
+    np.testing.assert_allclose(np.asarray(hs_st), np.asarray(hs_seq), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_st), np.asarray(h), atol=1e-5)
