@@ -15,7 +15,11 @@ one wall-clock ratio per stage and overall (BASELINE.md north star:
 from __future__ import annotations
 
 import json
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
@@ -98,14 +102,27 @@ def cpu_train_test(waves, epochs=EPOCHS):
 
 
 def cpu_classify(latents):
-    """Sequential GBT grid search + size sweep + PPV (the reference's
-    joblib/sequential CPU shape, using the same GBT implementation)."""
-    from ae_waveforms_tpu.classify.harness import (
-        grid_search_cv,
-        ppv_analysis,
-        prepare_class_data,
-        size_seed_sweep,
-    )
+    """Sequential grid search + size sweep + PPV with sklearn's C++
+    histogram GBDT — the reference's compute shape (xgboost C++ under
+    GridSearchCV, main_ae_classify.py:57-75): one native fit per
+    candidate-fold / per seed, sequentially on host.  Same LHS candidate
+    list, fold split, and seed+42 subsampling discipline as the TPU side."""
+    from sklearn.ensemble import HistGradientBoostingClassifier
+    from sklearn.metrics import precision_score, roc_auc_score
+
+    from ae_waveforms_tpu.classify.harness import prepare_class_data
+    from ae_waveforms_tpu.classify.lhs import lhs_param_dicts
+
+    def fit_predict(params, X_tr, y_tr, X_te, seed):
+        m = HistGradientBoostingClassifier(
+            max_depth=params["max_depth"],
+            max_iter=params["n_estimators"],
+            learning_rate=params["learning_rate"],
+            min_samples_leaf=params["min_child_weight"],
+            random_state=seed,
+        )
+        m.fit(X_tr, y_tr)
+        return m.predict_proba(X_te)[:, 1]
 
     rng = np.random.default_rng(0)
     control = latents + 0.05 * rng.standard_normal(latents.shape)
@@ -113,10 +130,41 @@ def cpu_classify(latents):
     data = prepare_class_data(control, sick, test_size=max(50, len(latents) // 8))
     X = np.concatenate([data.control_train, data.sick_train])
     y = np.concatenate([np.zeros(len(data.control_train)), np.ones(len(data.sick_train))])
-    gs = grid_search_cv(X, y, n_candidates=GS_CANDIDATES, cv=3, vectorized=False)
+
+    # grid search: GS_CANDIDATES x 3-fold, sequential native fits
+    params = lhs_param_dicts(GS_CANDIDATES, random_state=1)
+    order = np.random.default_rng(1).permutation(len(y))
+    folds = np.array_split(order, 3)
+    best_score, best_params = -np.inf, params[0]
+    for p in params:
+        scores = []
+        for f in range(3):
+            te = folds[f]
+            tr = np.concatenate([folds[g] for g in range(3) if g != f])
+            scores.append(roc_auc_score(y[te], fit_predict(p, X[tr], y[tr], X[te], 1)))
+        s = float(np.mean(scores))
+        if s > best_score:
+            best_score, best_params = s, p
+
+    # size/seed sweep + PPV: one native fit per (size, seed)
     size = min(200, len(data.control_train))
-    size_seed_sweep(data, gs["best_params"], sizes=[size // 2, size], n_seeds=25)
-    return ppv_analysis(data, gs["best_params"], size=size, n_seeds=25)
+
+    def seed_proba(sz, seed):
+        r = np.random.default_rng(seed + 42)
+        idx_c = r.choice(len(data.control_train), sz, replace=False)
+        idx_s = r.choice(len(data.sick_train), sz, replace=False)
+        X_tr = np.concatenate([data.control_train[idx_c], data.sick_train[idx_s]])
+        y_tr = np.concatenate([np.zeros(sz), np.ones(sz)])
+        return fit_predict(best_params, X_tr, y_tr, data.X_test, seed + 42)
+
+    for sz in (size // 2, size):
+        for seed in range(25):
+            roc_auc_score(data.y_test, seed_proba(sz, seed))
+    ppvs = []
+    for seed in range(25):
+        proba = seed_proba(size, seed)
+        ppvs.append(precision_score(data.y_test, (proba >= 0.5).astype(int)))
+    return {"median_ppv": float(np.median(ppvs))}
 
 
 # -------------------------------- TPU path -----------------------------------
@@ -215,33 +263,62 @@ def tpu_classify(latents):
     return ppv_analysis(data, gs["best_params"], size=size, n_seeds=25, vectorized=True)
 
 
-def main():
+def run_side(side: str) -> None:
     records = _records()
+    ex, tr, cl = (
+        (tpu_extract, tpu_train_test, tpu_classify)
+        if side == "tpu"
+        else (cpu_extract, cpu_train_test, cpu_classify)
+    )
+    t0 = time.perf_counter()
+    waves, feats = ex(records)
+    t1 = time.perf_counter()
+    latents, final = tr(waves)
+    t2 = time.perf_counter()
+    ppv = cl(latents)
+    t3 = time.perf_counter()
+    print("SIDE_RESULT " + json.dumps({
+        "side": side,
+        "extract_s": round(t1 - t0, 1),
+        "train_test_s": round(t2 - t1, 1),
+        "classify_s": round(t3 - t2, 1),
+        "total_s": round(t3 - t0, 1),
+        "n_windows": len(waves),
+        "final_loss": round(final, 4),
+        "median_ppv": round(ppv["median_ppv"], 4),
+    }), flush=True)
+
+
+def main():
+    """Each side runs in its own subprocess so the platform is honest:
+    the TPU side keeps the axon env; the CPU side strips it and pins
+    JAX_PLATFORMS=cpu, so no cpu-path stage can silently ride the TPU."""
+    import os
+    import subprocess
+    import sys
+
     print(f"{N_CASES} cases x {DURATION_S:.0f}s, {EPOCHS} epochs, "
           f"{GS_CANDIDATES}-candidate grid search", flush=True)
-
     stages = {}
-    for side, ex, tr, cl in [
-        ("tpu", tpu_extract, tpu_train_test, tpu_classify),
-        ("cpu", cpu_extract, cpu_train_test, cpu_classify),
-    ]:
-        t0 = time.perf_counter()
-        waves, feats = ex(records)
-        t1 = time.perf_counter()
-        latents, final = tr(waves)
-        t2 = time.perf_counter()
-        ppv = cl(latents)
-        t3 = time.perf_counter()
-        stages[side] = {
-            "extract_s": round(t1 - t0, 1),
-            "train_test_s": round(t2 - t1, 1),
-            "classify_s": round(t3 - t2, 1),
-            "total_s": round(t3 - t0, 1),
-            "n_windows": len(waves),
-            "final_loss": round(final, 4),
-            "median_ppv": round(ppv["median_ppv"], 4),
-        }
-        print(side, stages[side], flush=True)
+    for side in ("tpu", "cpu"):
+        env = dict(os.environ)
+        if side == "cpu":
+            for k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+                      "AXON_LOOPBACK_RELAY"):
+                env.pop(k, None)
+            env["JAX_PLATFORMS"] = "cpu"
+        proc = subprocess.run(
+            [sys.executable, __file__, "--side", side],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        sys.stderr.write(proc.stderr[-2000:])
+        for line in proc.stdout.splitlines():
+            print(line, flush=True)
+            if line.startswith("SIDE_RESULT "):
+                stages[side] = json.loads(line[len("SIDE_RESULT "):])
+        if side not in stages:
+            raise RuntimeError(f"{side} side produced no SIDE_RESULT (rc={proc.returncode})")
 
     ratio = {
         k: round(stages["cpu"][k] / max(stages["tpu"][k], 1e-9), 1)
@@ -251,4 +328,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--side" in sys.argv:
+        run_side(sys.argv[sys.argv.index("--side") + 1])
+    else:
+        main()
