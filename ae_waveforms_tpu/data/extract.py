@@ -25,13 +25,13 @@ from ae_waveforms_tpu.signals.features import (
     morphology_features,
     relative_to_r,
 )
-from ae_waveforms_tpu.signals.filters import butterworth, zscore
+from ae_waveforms_tpu.signals.filters import butterworth, butterworth_batched, zscore
 from ae_waveforms_tpu.signals.median_beat import median_beat_batch
 from ae_waveforms_tpu.signals.qc import qc_mask
 from ae_waveforms_tpu.signals.rpeaks import find_rpeaks_batch
 from ae_waveforms_tpu.signals.segment import segment_record
 
-__all__ = ["CaseResult", "extract_case", "extract_cases", "preprocess_record"]
+__all__ = ["CaseResult", "extract_case", "extract_cases", "preprocess_record", "preprocess_records_batched"]
 
 
 @dataclass
@@ -332,8 +332,8 @@ def extract_cases(
     return results
 
 
-def _windows_of_case(cid: int, record: np.ndarray, cfg: ExtractionConfig):
-    rec = preprocess_record(record, cfg)
+def _windows_of_case(cid: int, record: np.ndarray, cfg: ExtractionConfig, preprocessed: bool = False):
+    rec = record if preprocessed else preprocess_record(record, cfg)
     samples, indices = segment_record(rec, cfg.sampling_frequency, cfg.sample_length)
     if len(samples):
         with np.errstate(all="ignore"):
@@ -341,6 +341,32 @@ def _windows_of_case(cid: int, record: np.ndarray, cfg: ExtractionConfig):
             sd = np.nanstd(samples, axis=1, keepdims=True)
             samples = (samples - mu) / sd
     return samples, indices.reshape(-1)
+
+
+def preprocess_records_batched(records: List[np.ndarray], cfg: ExtractionConfig) -> List[np.ndarray]:
+    """``preprocess_record`` over many records with pooled device filtering.
+
+    Trim + z-score stay on host (cheap numpy reductions); the two zero-phase
+    Butterworth passes run through ``butterworth_batched`` — segments pooled
+    across ALL records, one device dispatch per length bucket — instead of
+    two dispatches per record.  Through the tunnelled relay this is the
+    difference between ~2 s/record and ~ms/record of filter launch cost.
+    float64 precision keeps the exact per-record scipy path."""
+    if cfg.precision == "float64":
+        return [preprocess_record(r, cfg) for r in records]
+    trimmed = []
+    for record in records:
+        finite = ~np.isnan(record)
+        if not finite.any():
+            trimmed.append(np.asarray(record[:0], np.float32))
+            continue
+        start = int(np.argmax(finite))
+        end = len(record) - int(np.argmax(finite[::-1]))
+        trimmed.append(np.asarray(zscore(np.asarray(record[start:end], np.float32)), np.float32))
+    return butterworth_batched(
+        trimmed, cfg.butter_hp_ecg or None, cfg.butter_lp_ecg or None,
+        cfg.sampling_frequency, cfg.butter_order,
+    )
 
 
 def extract_cases_batched(
@@ -420,6 +446,31 @@ def extract_cases_batched(
             it = tqdm(case_ids)
         except ImportError:
             pass
+
+    # preprocessing batch: records pooled so the Butterworth passes run as
+    # one device dispatch per segment-length bucket across many cases
+    PREP_CHUNK = 32
+    prep: List[tuple] = []  # (cid, raw record)
+
+    def drain_prep():
+        nonlocal prep, n_windows
+        if not prep:
+            return
+        recs = preprocess_records_batched([r for _, r in prep], cfg)
+        for (cid, _), rec in zip(prep, recs):
+            samples, indices = _windows_of_case(cid, rec, cfg, preprocessed=True)
+            if len(samples) == 0:
+                res = CaseResult(cid, np.zeros((0, 320), np.float32), np.zeros((0, 35)), np.zeros((0,)), 0)
+                if cache_dir is not None:
+                    _save_case(cache_dir, cid, res)
+                results.append(res)
+                continue
+            pending.append((cid, samples, indices))
+            n_windows += len(samples)
+            if n_windows >= windows_per_batch:
+                flush()
+        prep = []
+
     for cid in it:
         if cache_dir is not None and os.path.exists(os.path.join(cache_dir, f"{cid}.npz")):
             results.append(extract_case(cid, None, cfg, cache_dir))
@@ -427,16 +478,9 @@ def extract_cases_batched(
         record = record_loader(cid)
         if record is None:
             continue
-        samples, indices = _windows_of_case(cid, record, cfg)
-        if len(samples) == 0:
-            res = CaseResult(cid, np.zeros((0, 320), np.float32), np.zeros((0, 35)), np.zeros((0,)), 0)
-            if cache_dir is not None:
-                _save_case(cache_dir, cid, res)
-            results.append(res)
-            continue
-        pending.append((cid, samples, indices))
-        n_windows += len(samples)
-        if n_windows >= windows_per_batch:
-            flush()
+        prep.append((cid, record))
+        if len(prep) >= PREP_CHUNK:
+            drain_prep()
+    drain_prep()
     flush()
     return results

@@ -264,6 +264,9 @@ def tpu_classify(latents):
 
 
 def run_side(side: str) -> None:
+    from ae_waveforms_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()  # persistent cache: compiles amortize across runs
     records = _records()
     ex, tr, cl = (
         (tpu_extract, tpu_train_test, tpu_classify)

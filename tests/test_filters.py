@@ -71,3 +71,57 @@ def test_filtfilt_first_last_nan():
     b, a, _ = butter_coefficients(4, 1.0, "high", 500.0)
     np.testing.assert_allclose(out[5:-7], scipy.signal.filtfilt(b, a, x[5:-7]), atol=1e-10)
     assert np.all(np.isnan(out[:5])) and np.all(np.isnan(out[-7:]))
+
+
+def test_butterworth_batched_matches_per_record_chain():
+    """butterworth_batched must equal the sequential HP-then-LP butterworth
+    per record bitwise (same kernel composition), across NaN gaps, short
+    pass-through segments, and mixed record lengths."""
+    from ae_waveforms_tpu.signals.filters import butterworth, butterworth_batched
+
+    rng = np.random.default_rng(0)
+    records = []
+    # plain record
+    records.append(rng.standard_normal(5000).astype(np.float32))
+    # NaN gap in the middle + NaN edges
+    r = rng.standard_normal(7000).astype(np.float32)
+    r[:37] = np.nan
+    r[3000:3400] = np.nan
+    r[-11:] = np.nan
+    records.append(r)
+    # a segment short enough for the pass-through rule (<= 3*(order+1) = 15)
+    r = rng.standard_normal(2100).astype(np.float32)
+    r[10:2000] = np.nan  # leaves a 10-sample head segment
+    records.append(r)
+    # empty and all-NaN records: handled without reaching the filter
+    # (the per-record sequential path never sees these — preprocess_record
+    # guards them — so they are asserted directly)
+    records.append(np.full(0, np.nan, np.float32))
+    records.append(np.full(300, np.nan, np.float32))
+
+    got = butterworth_batched(records, 1.0, 30.0, 500, 4)
+    for rec, g in zip(records[:-2], got[:-2]):
+        want = butterworth(rec, "high", 1.0, 500, 4, "float32")
+        want = butterworth(want, "low", 30.0, 500, 4, "float32")
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(want, np.float32))
+    assert len(got[-2]) == 0
+    assert np.isnan(got[-1]).all()
+
+
+def test_preprocess_records_batched_matches_per_record():
+    from ae_waveforms_tpu.core.config import ExtractionConfig
+    from ae_waveforms_tpu.data.extract import preprocess_record, preprocess_records_batched
+
+    rng = np.random.default_rng(1)
+    cfg = ExtractionConfig()
+    records = []
+    for n in (4096, 9000, 6000):
+        r = rng.standard_normal(n).astype(np.float64)
+        if n == 9000:
+            r[:100] = np.nan
+            r[4000:4200] = np.nan
+        records.append(r)
+    got = preprocess_records_batched(records, cfg)
+    for rec, g in zip(records, got):
+        want = preprocess_record(rec, cfg)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(want, np.float32), equal_nan=True, atol=0)
