@@ -391,18 +391,34 @@ def extract_cases_batched(
         all_samples = np.concatenate([s for _, s, _ in pending], axis=0)
         spans = np.cumsum([0] + [len(s) for _, s, _ in pending])
 
-        samples_f32, n_real = _pad_batch(all_samples.astype(np.float32))
         if cfg.delineation_engine == "device":
-            # ONE dispatch + ONE pull per batch (see _window_batch_kernel_jit)
+            # Quantized dispatch shapes: full windows_per_batch chunks plus a
+            # remainder bucketed to 128 rows — the set of program shapes the
+            # kernel ever compiles is closed (<= 5), so the persistent
+            # compilation cache stays warm across runs regardless of how many
+            # windows each case contributed.
             kernel = _window_batch_kernel_jit()
-            packed = np.asarray(
-                kernel(samples_f32, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg)
-            )[:n_real]
+            src = all_samples.astype(np.float32)
+            packs = []
+            for i in range(0, len(src), windows_per_batch):
+                chunk = src[i : i + windows_per_batch]
+                k = len(chunk)
+                if k == windows_per_batch:
+                    padded = chunk
+                else:
+                    padded, _ = _pad_batch(chunk, bucket=128)
+                packs.append(
+                    np.asarray(
+                        kernel(padded, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg)
+                    )[:k]
+                )
+            packed = np.concatenate(packs, axis=0)
             keep = packed[:, 0] > 0.5
             medians = packed[keep, 2:322]
             rows = packed[keep, 322:357].astype(np.float64)
             valid = packed[keep, 1] > 0.5
         else:
+            samples_f32, n_real = _pad_batch(all_samples.astype(np.float32))
             peaks, n_peaks = find_rpeaks_batch(samples_f32, cfg.sampling_frequency)
             keep = qc_mask(
                 samples_f32, peaks, n_peaks, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg

@@ -351,8 +351,11 @@ def butterworth_batched(
                 groups.setdefault(bucket, []).append((ri, int(start), int(end)))
 
     for bucket, items in sorted(groups.items()):
-        bufs = np.zeros((len(items), bucket), np.float32)
-        ns = np.empty(len(items), np.int32)
+        # row count padded to a multiple of 8 so the program-shape set stays
+        # closed (persistent-cache-friendly) however many segments a chunk has
+        rows = ((len(items) + 7) // 8) * 8
+        bufs = np.zeros((rows, bucket), np.float32)
+        ns = np.full(rows, bucket, np.int32)  # pad rows: filter zeros, discard
         for k, (ri, s, e) in enumerate(items):
             bufs[k, : e - s] = records[ri][s:e]
             ns[k] = e - s
