@@ -47,17 +47,27 @@ def _resample4(x: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(4 * n_in)
 
 
-def _dwt_scales(x: jnp.ndarray, max_degree: int = 9) -> jnp.ndarray:
-    """(max_degree, T) detail signals of the a-trous quadratic-spline bank.
+def _dwt_scales(x: jnp.ndarray, max_degree: int = 9, needed=None) -> dict:
+    """Detail signals of the a-trous quadratic-spline bank as a dict
+    ``{scale: (T,) array}``.
 
     The host computation lets intermediate approximations grow (full
     convolutions feeding later scales near the tail); running every scale on
     a zero-padded extended buffer reproduces exactly the entries that
-    survive the final trim to T."""
+    survive the final trim to T.
+
+    ``needed``: iterable of scale indices to emit (default: all).  The
+    delineator only consumes scales ``2 + deg`` and ``3 + deg`` (5 and 6 at
+    the 2 kHz analysis rate), so skipping the rest drops both the detail
+    materialisation and the deeper approximation chain."""
+    if needed is None:
+        needed = range(max_degree)
+    needed = set(int(s) for s in needed)
+    max_degree = max(needed) + 1
     T = x.shape[0]
     pad = 2048  # covers the 9-scale growth (sum of 3 * 2^deg)
     approx = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
-    details = []
+    details = {}
 
     def shifted(a, offset, length):
         """conv-full term a[n - offset] over n in [0, length): a zero-padded
@@ -78,26 +88,30 @@ def _dwt_scales(x: jnp.ndarray, max_degree: int = 9) -> jnp.ndarray:
         a1 = shifted(approx, s, L)
         a2 = shifted(approx, 2 * s, L)
         a3 = shifted(approx, 3 * s, L)
-        # g_taps = [2, 0...0, -2] at offsets 0, s
-        detail = (2.0 * a0 + (-2.0) * a1)[delay : delay + T]
-        # h_taps = [1/8, 0..., 3/8, 0..., 3/8, 0..., 1/8] at 0, s, 2s, 3s
-        smooth = (((0.125 * a0 + 0.375 * a1) + 0.375 * a2) + 0.125 * a3)[delay : delay + T + pad]
-        details.append(detail)
-        approx = smooth
-    return jnp.stack(details)
+        if deg in needed:
+            # g_taps = [2, 0...0, -2] at offsets 0, s
+            details[deg] = (2.0 * a0 + (-2.0) * a1)[delay : delay + T]
+        if deg + 1 < max_degree:
+            # h_taps = [1/8, 0..., 3/8, 0..., 3/8, 0..., 1/8] at 0, s, 2s, 3s
+            approx = (((0.125 * a0 + 0.375 * a1) + 0.375 * a2) + 0.125 * a3)[delay : delay + T + pad]
+    return details
 
 
-def _window(sig: jnp.ndarray, start: jnp.ndarray, length: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fixed-W contiguous window sig[start : start+length] with validity
+def _window(sig: jnp.ndarray, start: jnp.ndarray, length: jnp.ndarray, w: int = W) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-``w`` contiguous window sig[start : start+length] with validity
     mask.  A contiguous ``lax.dynamic_slice`` into a zero-padded buffer, NOT
     an elementwise gather: TPU gathers run ~orders of magnitude below VPU
-    rate and these windows are taken per beat per fiducial search."""
+    rate and these windows are taken per beat per fiducial search.
+
+    ``w`` is the static window capacity, sized per search to its maximum
+    possible ``length`` (rounded up to the 128-lane width) — every vector op
+    downstream of the slice shrinks with it."""
     T = sig.shape[0]
-    k = jnp.arange(W)
+    k = jnp.arange(w)
     idx = start + k
     valid = (k < length) & (idx >= 0) & (idx < T)
-    padded = jnp.concatenate([jnp.zeros((W,), sig.dtype), sig, jnp.zeros((W,), sig.dtype)])
-    vals = jax.lax.dynamic_slice(padded, (jnp.clip(start, -W, T) + W,), (W,))
+    padded = jnp.concatenate([jnp.zeros((w,), sig.dtype), sig, jnp.zeros((w,), sig.dtype)])
+    vals = jax.lax.dynamic_slice(padded, (jnp.clip(start, -w, T) + w,), (w,))
     return jnp.where(valid, vals, 0.0), valid
 
 
@@ -114,24 +128,24 @@ def _local_max_mask(d: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 
 def _next_index(mask: jnp.ndarray) -> jnp.ndarray:
     """nxt[k] = smallest index >= k with mask, else BIG (reverse cummin)."""
-    idx = jnp.where(mask, jnp.arange(W), BIG)
+    idx = jnp.where(mask, jnp.arange(mask.shape[0]), BIG)
     return jax.lax.associative_scan(jnp.minimum, idx, reverse=True)
 
 
 def _masked_last(mask: jnp.ndarray) -> jnp.ndarray:
     """largest index with mask, else -BIG."""
-    return jnp.max(jnp.where(mask, jnp.arange(W), -BIG))
+    return jnp.max(jnp.where(mask, jnp.arange(mask.shape[0]), -BIG))
 
 
 def _masked_first(mask: jnp.ndarray) -> jnp.ndarray:
-    return jnp.min(jnp.where(mask, jnp.arange(W), BIG))
+    return jnp.min(jnp.where(mask, jnp.arange(mask.shape[0]), BIG))
 
 
-def _tp_peak_one(ecg, dwt_row, start, length, eps_weight, expected_latency, symmetric, fs):
+def _tp_peak_one(ecg, dwt_row, start, length, eps_weight, expected_latency, symmetric, fs, w=W):
     """One beat's T- or P-peak search; returns float index into the analysis
     signal or NaN."""
-    d, valid = _window(dwt_row, start, length)
-    e, _ = _window(ecg, start, length)
+    d, valid = _window(dwt_row, start, length, w)
+    e, _ = _window(ecg, start, length, w)
     n = jnp.sum(valid)
     ok = n > 0
 
@@ -147,18 +161,18 @@ def _tp_peak_one(ecg, dwt_row, start, length, eps_weight, expected_latency, symm
     nxt_peak = _next_index(peaks)
     # sign-change positions (np.sign diff != 0 at k means crossing between k, k+1)
     s = jnp.sign(d)
-    cross = jnp.zeros((W,), bool).at[:-1].set((s[1:] - s[:-1]) != 0)
+    cross = jnp.zeros((w,), bool).at[:-1].set((s[1:] - s[:-1]) != 0)
     cross = cross & valid & jnp.roll(valid, -1)
     nxt_cross = _next_index(cross)
 
-    k = jnp.arange(W)
+    k = jnp.arange(w)
     # nxt_peak[k+1] is a unit shift, not a gather
     partner = jnp.concatenate([nxt_peak[1:], jnp.full((1,), BIG, nxt_peak.dtype)])
     cand = peaks & (partner < BIG) & (d > 0)
-    cand = cand & (jnp.where(partner < W, d[jnp.clip(partner, 0, W - 1)], 0.0) < 0)
+    cand = cand & (jnp.where(partner < w, d[jnp.clip(partner, 0, w - 1)], 0.0) < 0)
     idx_zero = nxt_cross  # first crossing at/after the positive peak
-    cand = cand & (idx_zero <= partner) & (idx_zero < W)
-    iz = jnp.clip(idx_zero, 0, W - 1)
+    cand = cand & (idx_zero <= partner) & (idx_zero < w)
+    iz = jnp.clip(idx_zero, 0, w - 1)
     latency = iz.astype(d.dtype) / fs - expected_latency
     penalty = jnp.abs(latency) if symmetric else latency
     score = e[iz] - penalty
@@ -168,75 +182,75 @@ def _tp_peak_one(ecg, dwt_row, start, length, eps_weight, expected_latency, symm
     return jnp.where(found, (idx_zero[best] + start).astype(jnp.float32), jnp.nan)
 
 
-def _onset_one(dwt_row, pk, dur, weight, negate):
+def _onset_one(dwt_row, pk, dur, weight, negate, w=W):
     """Last sub-threshold point before the last slope peak in [pk-dur, pk)."""
     start = jnp.maximum(pk - dur, 0)
     length = pk - start
-    d, valid = _window(dwt_row, start, length)
+    d, valid = _window(dwt_row, start, length, w)
     d = -d if negate else d
     sp = _local_max_mask(d, valid)
     last_sp = _masked_last(sp)
     has_sp = last_sp >= 0
-    eps = weight * d[jnp.clip(last_sp, 0, W - 1)]
-    k = jnp.arange(W)
+    eps = weight * d[jnp.clip(last_sp, 0, w - 1)]
+    k = jnp.arange(w)
     cands = valid & (k < last_sp) & (d < eps)
     last_c = _masked_last(cands)
     found = has_sp & (last_c >= 0)
     return jnp.where(found, (last_c + start).astype(jnp.float32), jnp.nan)
 
 
-def _offset_one(dwt_row, pk, dur, weight, negate):
+def _offset_one(dwt_row, pk, dur, weight, negate, w=W):
     """First sub-threshold point after the first slope peak in [pk, pk+dur)."""
-    d, valid = _window(dwt_row, pk, dur)
+    d, valid = _window(dwt_row, pk, dur, w)
     d = -d if negate else d
     sp = _local_max_mask(d, valid)
     first_sp = _masked_first(sp)
     has_sp = first_sp < BIG
-    eps = weight * d[jnp.clip(first_sp, 0, W - 1)]
-    k = jnp.arange(W)
+    eps = weight * d[jnp.clip(first_sp, 0, w - 1)]
+    k = jnp.arange(w)
     cands = valid & (k >= first_sp) & (d < eps)
     first_c = _masked_first(cands)
     found = has_sp & (first_c < BIG)
     return jnp.where(found, (first_c + pk).astype(jnp.float32), jnp.nan)
 
 
-def _bounded_onset(dwt_row, lo, hi, weight):
+def _bounded_onset(dwt_row, lo, hi, weight, w=W):
     """QRS-onset pattern over the data-dependent window [lo, hi): negated
     slope peaks, LAST one, eps = weight * value, last candidate before it."""
     length = hi - lo
-    d, valid = _window(dwt_row, lo, length)
+    d, valid = _window(dwt_row, lo, length, w)
     d = -d
     sp = _local_max_mask(d, valid)
     last_sp = _masked_last(sp)
     has_sp = last_sp >= 0
-    eps = weight * d[jnp.clip(last_sp, 0, W - 1)]
-    k = jnp.arange(W)
+    eps = weight * d[jnp.clip(last_sp, 0, w - 1)]
+    k = jnp.arange(w)
     cands = valid & (k < last_sp) & (d < eps)
     last_c = _masked_last(cands)
     found = has_sp & (last_c >= 0)
     return jnp.where(found, (last_c + lo).astype(jnp.float32), jnp.nan)
 
 
-def _bounded_offset(dwt_row, lo, hi, weight):
+def _bounded_offset(dwt_row, lo, hi, weight, w=W):
     length = hi - lo
-    d, valid = _window(dwt_row, lo, length)
+    d, valid = _window(dwt_row, lo, length, w)
     d = -d
     sp = _local_max_mask(d, valid)
     first_sp = _masked_first(sp)
     has_sp = first_sp < BIG
-    eps = weight * d[jnp.clip(first_sp, 0, W - 1)]
-    k = jnp.arange(W)
+    eps = weight * d[jnp.clip(first_sp, 0, w - 1)]
+    k = jnp.arange(w)
     cands = valid & (k >= first_sp) & (d < eps)
     first_c = _masked_first(cands)
     found = has_sp & (first_c < BIG)
     return jnp.where(found, (first_c + lo).astype(jnp.float32), jnp.nan)
 
 
-def _argext_window(sig, lo, hi, mode_min=True):
+def _argext_window(sig, lo, hi, mode_min=True, w=W):
     """arg-min/max of sig over [lo, hi) as an absolute float index, NaN if
     the window is empty."""
     length = hi - lo
-    vals, valid = _window(sig, lo, length)
+    vals, valid = _window(sig, lo, length, w)
     vals = jnp.where(valid, vals, jnp.inf if mode_min else -jnp.inf)
     k = jnp.argmin(vals) if mode_min else jnp.argmax(vals)
     ok = jnp.any(valid)
@@ -249,8 +263,8 @@ def _delineate_window(sample: jnp.ndarray, peaks: jnp.ndarray, n_peaks: jnp.ndar
     fs = ANALYSIS_RATE
     up = fs // fs_in
     ecg = _resample4(sample.astype(jnp.float32))
-    dwt = _dwt_scales(ecg, 9)
     deg = int(np.log2(fs / 250))  # 3
+    dwt = _dwt_scales(ecg, 9, needed=(2 + deg, 3 + deg))
 
     K = peaks.shape[0]
     beat_valid = (jnp.arange(K) < n_peaks) & (peaks >= 0)
@@ -260,15 +274,26 @@ def _delineate_window(sample: jnp.ndarray, peaks: jnp.ndarray, n_peaks: jnp.ndar
     t_dur = 2 * int(0.25 * fs)  # 1000
     p_back = 2 * int(0.2 * fs)  # 800
 
+    # static per-search window capacities: max possible length rounded up to
+    # the 128-lane width (every vector op in a search scales with these)
+    lane = 128
+    r128 = lambda n: ((n + lane - 1) // lane) * lane
+    W_T = r128(t_dur - srch_bndry)  # 896: T search [r+130, r+1000)
+    W_P = r128(p_back - srch_bndry)  # 768: P search [r-800, r-130)
+    W_RON = r128(p_back)  # 896: QRS onset [pp, r), pp >= r - 800
+    W_ROFF = r128(t_dur)  # 1024: QRS offset [r, tp), tp <= r + 999
+    W_ONOFF = r128(int(0.3 * fs))  # 640: P/T 0.3 s onset/offset windows
+    W_TON = r128(int(0.6 * fs))  # 1280: T onset 0.6 s lookback
+
     def per_beat(r):
         # T peak on scale 3+deg, P peak on scale 2+deg
         tpk = _tp_peak_one(
             ecg, dwt[3 + deg], r + srch_bndry, t_dur - srch_bndry, 0.25,
-            0.25 - 0.5 * 0.13, False, fs,
+            0.25 - 0.5 * 0.13, False, fs, w=W_T,
         )
         p_start = r - p_back
         p_len = (r - srch_bndry) - p_start
-        ppk_raw = _tp_peak_one(ecg, dwt[2 + deg], p_start, p_len, 0.02, 0.2, True, fs)
+        ppk_raw = _tp_peak_one(ecg, dwt[2 + deg], p_start, p_len, 0.02, 0.2, True, fs, w=W_P)
         ppk = jnp.where(p_start < 0, jnp.nan, ppk_raw)
         return tpk, ppk
 
@@ -276,34 +301,40 @@ def _delineate_window(sample: jnp.ndarray, peaks: jnp.ndarray, n_peaks: jnp.ndar
 
     def qrs_bounds(r, pp, tp):
         on = jnp.where(
-            jnp.isnan(pp), jnp.nan, _bounded_onset(dwt[2 + deg], jnp.nan_to_num(pp).astype(jnp.int32), r, 0.5)
+            jnp.isnan(pp), jnp.nan,
+            _bounded_onset(dwt[2 + deg], jnp.nan_to_num(pp).astype(jnp.int32), r, 0.5, w=W_RON),
         )
         off = jnp.where(
-            jnp.isnan(tp), jnp.nan, _bounded_offset(dwt[2 + deg], r, jnp.nan_to_num(tp).astype(jnp.int32), 0.5)
+            jnp.isnan(tp), jnp.nan,
+            _bounded_offset(dwt[2 + deg], r, jnp.nan_to_num(tp).astype(jnp.int32), 0.5, w=W_ROFF),
         )
         return on, off
 
     r_on, r_off = jax.vmap(qrs_bounds)(rp, ppeaks, tpeaks)
 
-    def tp_bounds(pk, dur_on, dur_off, w_on, w_off):
+    def tp_bounds(pk, dur_on, dur_off, w_on, w_off, cap_on, cap_off):
         pki = jnp.nan_to_num(pk).astype(jnp.int32)
-        on = jnp.where(jnp.isnan(pk), jnp.nan, _onset_one(dwt[2 + deg], pki, dur_on, w_on, False))
-        off = jnp.where(jnp.isnan(pk), jnp.nan, _offset_one(dwt[2 + deg], pki, dur_off, w_off, True))
+        on = jnp.where(jnp.isnan(pk), jnp.nan, _onset_one(dwt[2 + deg], pki, dur_on, w_on, False, w=cap_on))
+        off = jnp.where(jnp.isnan(pk), jnp.nan, _offset_one(dwt[2 + deg], pki, dur_off, w_off, True, w=cap_off))
         return on, off
 
-    p_on, p_off = jax.vmap(lambda pk: tp_bounds(pk, int(0.3 * fs), int(0.3 * fs), 0.4, 0.4))(ppeaks)
-    t_on, t_off = jax.vmap(lambda pk: tp_bounds(pk, int(0.6 * fs), int(0.3 * fs), 0.6, 0.4))(tpeaks)
+    p_on, p_off = jax.vmap(
+        lambda pk: tp_bounds(pk, int(0.3 * fs), int(0.3 * fs), 0.4, 0.4, W_ONOFF, W_ONOFF)
+    )(ppeaks)
+    t_on, t_off = jax.vmap(
+        lambda pk: tp_bounds(pk, int(0.6 * fs), int(0.3 * fs), 0.6, 0.4, W_TON, W_ONOFF)
+    )(tpeaks)
 
     def qs(r, on, off):
         q = jnp.where(
             jnp.isnan(on) | (jnp.nan_to_num(on).astype(jnp.int32) >= r),
             jnp.nan,
-            _argext_window(ecg, jnp.nan_to_num(on).astype(jnp.int32), r, mode_min=True),
+            _argext_window(ecg, jnp.nan_to_num(on).astype(jnp.int32), r, mode_min=True, w=W_RON),
         )
         s = jnp.where(
             jnp.isnan(off) | (r + 1 >= jnp.nan_to_num(off).astype(jnp.int32)),
             jnp.nan,
-            _argext_window(ecg, r + 1, jnp.nan_to_num(off).astype(jnp.int32), mode_min=True),
+            _argext_window(ecg, r + 1, jnp.nan_to_num(off).astype(jnp.int32), mode_min=True, w=W_ROFF),
         )
         return q, s
 

@@ -37,7 +37,8 @@ import numpy as np
 __all__ = ["find_rpeaks", "find_rpeaks_batch", "MAX_SEGMENTS", "MAX_PEAKS"]
 
 MAX_SEGMENTS = 128  # QRS candidate regions per 20-s window (>= physiological max)
-MAX_PEAKS = 128
+MAX_PEAKS = 72  # 20 s / 0.3 s min-delay refractory = 67 acceptable peaks, + margin
+MAX_CANDIDATES = 2048  # in-segment strict local maxima cap (30 Hz LP bound ~600)
 
 
 def _gradient(x: jnp.ndarray) -> jnp.ndarray:
@@ -90,19 +91,24 @@ def _range_query(table: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray, reduce_ma
     return jnp.maximum(a, b) if reduce_max else jnp.minimum(a, b)
 
 
-def _nearest_higher(x, maxt, pos, v, lo_bound, hi_bound, levels, left: bool):
+def _nearest_higher(maxt, pos, v, lo_bound, hi_bound, levels, left: bool):
     """For each position `pos` with value `v`, the nearest index j in
     [lo_bound, pos-1] (left) or [pos+1, hi_bound] (right) with x[j] > v;
     returns the *boundary of the walked region*: the walk stops at j (which
-    is the first strictly-higher point) or at the border."""
-    T = x.shape[0]
+    is the first strictly-higher point) or at the border.
+
+    Each descent step queries a block of length exactly 2^k, which is ONE
+    entry of sparse-table row k — a 1D gather from a static row, not the 2D
+    (level, position) gather of the general ``_range_query``."""
+    T = maxt.shape[1]
     if left:
         idx = pos  # exclusive upper end of the unexplored region
         for k in range(levels - 1, -1, -1):
             step = 1 << k
             cand = idx - step
             ok = cand >= lo_bound
-            blk_max = _range_query(maxt, jnp.clip(cand, 0, T - 1), jnp.clip(idx - 1, 0, T - 1), True)
+            # max over [cand, idx-1] (length step) == maxt[k][cand]
+            blk_max = maxt[k][jnp.clip(cand, 0, T - 1)]
             jumpable = ok & (blk_max <= v)
             idx = jnp.where(jumpable, cand, idx)
         # x[idx-1] > v when idx > lo_bound, else border.
@@ -114,7 +120,8 @@ def _nearest_higher(x, maxt, pos, v, lo_bound, hi_bound, levels, left: bool):
             step = 1 << k
             cand = idx + step
             ok = cand <= hi_bound
-            blk_max = _range_query(maxt, jnp.clip(idx + 1, 0, T - 1), jnp.clip(cand, 0, T - 1), True)
+            # max over [idx+1, cand] (length step) == maxt[k][idx+1]
+            blk_max = maxt[k][jnp.clip(idx + 1, 0, T - 1)]
             jumpable = ok & (blk_max <= v)
             idx = jnp.where(jumpable, cand, idx)
         stop = idx + 1
@@ -187,26 +194,40 @@ def find_rpeaks(
     # find_peaks runs on the slice [beg, end): interior maxima only.
     cand = is_locmax & in_seg & (pos > beg_qrs[seg_of]) & (pos < end_qrs[seg_of] - 1)
 
+    # --- candidate compaction -----------------------------------------------
+    # Prominence walks run only at candidate local maxima, not all T
+    # positions: the extraction contract low-passes every window at 30 Hz, so
+    # strict local maxima are >= ~17 samples apart (<~600 per 20-s window);
+    # MAX_CANDIDATES gives >3x headroom.  This turns the dominant cost of the
+    # detector (15-level sparse-table walks, formerly 2D gathers over all
+    # 10 000 positions) into 1D row gathers over ~2 000 slots.
+    cand_rank = jnp.cumsum(cand) - 1
+    ci = jnp.full((MAX_CANDIDATES,), T, jnp.int32)
+    ci = ci.at[jnp.where(cand, cand_rank, MAX_CANDIDATES)].set(pos, mode="drop")
+    cvalid = ci < T
+    cis = jnp.clip(ci, 0, T - 1)
+    cv = x[cis]
+    seg_c = seg_of[cis]
+    clo = jnp.where(cvalid, beg_qrs[seg_c], 0)
+    chi = jnp.where(cvalid, end_qrs[seg_c] - 1, 0)
+
     maxt, mint = _sparse_tables(x, levels)
-    lo_b = beg_qrs[seg_of]
-    hi_b = end_qrs[seg_of] - 1
-    lstop = _nearest_higher(x, maxt, pos, x, lo_b, hi_b, levels, left=True)
-    rstop = _nearest_higher(x, maxt, pos, x, lo_b, hi_b, levels, left=False)
+    lstop = _nearest_higher(maxt, cis, cv, clo, chi, levels, left=True)
+    rstop = _nearest_higher(maxt, cis, cv, clo, chi, levels, left=False)
     # left base min: min over [max(lstop, lo), p]; walked region excludes the
     # higher stop point itself but the query including a strictly higher point
     # never changes a min, so clamping to the segment border is safe.
-    lmin = _range_query(mint, jnp.clip(jnp.maximum(lstop, lo_b), 0, T - 1), pos, False)
-    rmin = _range_query(mint, pos, jnp.clip(jnp.minimum(rstop, hi_b), 0, T - 1), False)
-    prominence = x - jnp.maximum(lmin, rmin)
-    prominence = jnp.where(cand, prominence, -jnp.inf)
+    lmin = _range_query(mint, jnp.clip(jnp.maximum(lstop, clo), 0, T - 1), cis, False)
+    rmin = _range_query(mint, cis, jnp.clip(jnp.minimum(rstop, chi), 0, T - 1), False)
+    cprom = jnp.where(cvalid, cv - jnp.maximum(lmin, rmin), -jnp.inf)
 
     # --- best candidate per segment ------------------------------------------
     seg_best = jnp.full((MAX_SEGMENTS,), -jnp.inf)
-    seg_best = seg_best.at[jnp.where(cand, seg_of, MAX_SEGMENTS)].max(prominence, mode="drop")
+    seg_best = seg_best.at[jnp.where(cvalid, seg_c, MAX_SEGMENTS)].max(cprom, mode="drop")
     # argmax: first position achieving the segment max (scipy argmax tie-break)
-    is_best = cand & (prominence == seg_best[seg_of])
+    is_best = cvalid & (cprom == seg_best[seg_c])
     seg_peak = jnp.full((MAX_SEGMENTS,), T, jnp.int32)
-    seg_peak = seg_peak.at[jnp.where(is_best, seg_of, MAX_SEGMENTS)].min(pos, mode="drop")
+    seg_peak = seg_peak.at[jnp.where(is_best, seg_c, MAX_SEGMENTS)].min(ci, mode="drop")
 
     seg_has_peak = seg_valid & (seg_len >= min_len) & (seg_peak < T)
 
