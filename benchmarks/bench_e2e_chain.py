@@ -27,7 +27,7 @@ N_CASES = 64
 DURATION_S = 220.0
 EPOCHS = 20
 BATCH = 128
-GS_CANDIDATES = 20
+GS_CANDIDATES = 100
 LATENT = 10
 
 
@@ -198,49 +198,50 @@ def tpu_train_test(waves, epochs=EPOCHS):
     n = len(waves)
     steps_per_epoch = (n + BATCH - 1) // BATCH
 
+    # the whole run is ONE device program (epoch scan over step scans):
+    # per-epoch dispatches each pay a relay round trip, a scan does not
     @jax.jit
-    def epoch(params, opt_state, x, key):
-        perm = jax.random.permutation(key, n)
-        # wrap-pad so every scan step sees a full batch
-        perm = jnp.concatenate([perm, perm])[: steps_per_epoch * BATCH]
-
-        def step(carry, i):
+    def train_all(params, opt_state, x, key):
+        def epoch(carry, k):
             params, opt_state = carry
-            idx = jax.lax.dynamic_slice(perm, (i * BATCH,), (BATCH,))
-            xb = x[idx]
+            perm = jax.random.permutation(k, n)
+            # wrap-pad so every scan step sees a full batch
+            perm = jnp.concatenate([perm, perm])[: steps_per_epoch * BATCH]
 
-            def loss_fn(p):
-                pred = lstm_ae.forward(p, xb, train=False)
-                return jnp.mean((pred - xb) ** 2)
+            def step(carry, i):
+                params, opt_state = carry
+                idx = jax.lax.dynamic_slice(perm, (i * BATCH,), (BATCH,))
+                xb = x[idx]
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-            return (params, opt_state), loss
+                def loss_fn(p):
+                    pred = lstm_ae.forward(p, xb, train=False)
+                    return jnp.mean((pred - xb) ** 2)
 
-        (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), jnp.arange(steps_per_epoch)
-        )
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), jnp.arange(steps_per_epoch)
+            )
+            return (params, opt_state), losses[-1]
+
+        keys = jax.random.split(key, epochs)
+        (params, opt_state), losses = jax.lax.scan(epoch, (params, opt_state), keys)
         return params, opt_state, losses[-1]
 
-    key = jax.random.PRNGKey(1)
-    for _ in range(epochs):
-        key, k = jax.random.split(key)
-        params, opt_state, loss = epoch(params, opt_state, x, k)
+    params, opt_state, loss = train_all(params, opt_state, x, jax.random.PRNGKey(1))
     final = float(np.asarray(loss))
 
+    # latent export: one padded dispatch
     encode = jax.jit(lambda p, xb: lstm_ae.encode(p, xb))
-    lat = []
-    for i in range(0, n, 1024):
-        xb = x[i : i + 1024]
-        pad = 1024 - len(xb)
-        if pad:
-            xb = jnp.concatenate([xb, jnp.zeros((pad, *xb.shape[1:]), xb.dtype)])
-        z = np.asarray(encode(params, xb))
-        if z.ndim == 3:
-            z = z[:, :, 0]
-        lat.append(z[: len(x[i : i + 1024])])
-    return np.concatenate(lat), final
+    pad = (-n) % 1024
+    xp = jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]), x.dtype)]) if pad else x
+    z = np.asarray(encode(params, xp))
+    if z.ndim == 3:
+        z = z[:, :, 0]
+    return z[:n], final
 
 
 def tpu_classify(latents):
