@@ -231,7 +231,14 @@ def extract_case(
         valid = np.asarray(n_peaks) > 0
     else:
         peak_lists = [list(map(int, p[:k])) for p, k in zip(peaks, n_peaks)]
-        rows, valid = _feature_rows(samples, peak_lists, cfg, peaks_padded=peaks, n_peaks=n_peaks)
+        # engine="python" must NOT silently upgrade to the native C++
+        # delineator — it is the reference-equivalent oracle path
+        native_ok = cfg.delineation_engine != "python"
+        rows, valid = _feature_rows(
+            samples, peak_lists, cfg,
+            peaks_padded=peaks if native_ok else None,
+            n_peaks=n_peaks if native_ok else None,
+        )
 
     result = CaseResult(
         case_id=case_id,
@@ -434,7 +441,12 @@ def extract_cases_batched(
             n_peaks_p, _ = _pad_batch(kept_n)
             medians = np.asarray(median_beat_batch(kept_f32, peaks_p, n_peaks_p))[:n_kept]
             peak_lists = [list(map(int, p[:k])) for p, k in zip(kept_peaks, kept_n)]
-            rows, valid = _feature_rows(kept, peak_lists, cfg, peaks_padded=kept_peaks, n_peaks=kept_n)
+            native_ok = cfg.delineation_engine != "python"
+            rows, valid = _feature_rows(
+                kept, peak_lists, cfg,
+                peaks_padded=kept_peaks if native_ok else None,
+                n_peaks=kept_n if native_ok else None,
+            )
 
         # split back per case: kept-window index within each case span
         kept_case = np.repeat(np.arange(len(pending)), np.diff(spans))[keep]
