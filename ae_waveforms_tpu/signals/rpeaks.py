@@ -186,13 +186,27 @@ def find_rpeaks(
     is_locmax = jnp.zeros((T,), bool)
     is_locmax = is_locmax.at[1:-1].set((x[1:-1] > x[:-2]) & (x[1:-1] > x[2:]))
 
-    # Segment membership per position: seg_of[p] = i if beg_qrs[i] <= p < end_qrs[i].
+    # Segment membership in POSITION space (no searchsorted, no (T,)
+    # gathers): rises and valid falls strictly alternate (transitions of a
+    # boolean signal; leading falls are filtered), so the containing
+    # segment's beg is a forward cummax fill of valid rise positions and its
+    # end a reverse cummin fill of valid fall positions, and the segment
+    # ordinal is a running count of valid rises.
     pos = jnp.arange(T)
-    seg_of = jnp.searchsorted(jnp.where(seg_valid, beg_qrs, T).astype(jnp.int32), pos, side="right") - 1
-    seg_of = jnp.clip(seg_of, 0, MAX_SEGMENTS - 1)
-    in_seg = (pos >= beg_qrs[seg_of]) & (pos < end_qrs[seg_of]) & seg_valid[seg_of]
+    rise_f = jnp.concatenate([rise, jnp.zeros((1,), bool)])  # align to T
+    fall_f = jnp.concatenate([fall, jnp.zeros((1,), bool)])
+    n_seg_cap = jnp.minimum(num_qrs, MAX_SEGMENTS)  # compact() drops beyond
+    rise_ord = jnp.cumsum(rise_f) - 1  # ordinal of the last rise at/before p
+    valid_rise = rise_f & (rise_ord < n_seg_cap)
+    fall_after = fall_f & (pos > first_beg)
+    fall_ord = jnp.cumsum(fall_after) - 1
+    valid_fall = fall_after & (fall_ord < n_seg_cap)
+
+    last_beg = jax.lax.cummax(jnp.where(valid_rise, pos, -1))
+    next_end = jax.lax.cummin(jnp.where(valid_fall, pos, T)[::-1])[::-1]
+    in_seg = last_beg > jax.lax.cummax(jnp.where(valid_fall, pos, -1))
     # find_peaks runs on the slice [beg, end): interior maxima only.
-    cand = is_locmax & in_seg & (pos > beg_qrs[seg_of]) & (pos < end_qrs[seg_of] - 1)
+    cand = is_locmax & in_seg & (pos > last_beg) & (pos < next_end - 1)
 
     # --- candidate compaction -----------------------------------------------
     # Prominence walks run only at candidate local maxima, not all T
@@ -207,9 +221,9 @@ def find_rpeaks(
     cvalid = ci < T
     cis = jnp.clip(ci, 0, T - 1)
     cv = x[cis]
-    seg_c = seg_of[cis]
-    clo = jnp.where(cvalid, beg_qrs[seg_c], 0)
-    chi = jnp.where(cvalid, end_qrs[seg_c] - 1, 0)
+    seg_c = jnp.clip(rise_ord[cis], 0, MAX_SEGMENTS - 1).astype(jnp.int32)
+    clo = jnp.where(cvalid, last_beg[cis], 0)
+    chi = jnp.where(cvalid, next_end[cis] - 1, 0)
 
     maxt, mint = _sparse_tables(x, levels)
     lstop = _nearest_higher(maxt, cis, cv, clo, chi, levels, left=True)
