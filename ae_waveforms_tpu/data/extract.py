@@ -399,24 +399,27 @@ def extract_cases_batched(
         spans = np.cumsum([0] + [len(s) for _, s, _ in pending])
 
         if cfg.delineation_engine == "device":
-            # Quantized dispatch shapes: full windows_per_batch chunks plus a
-            # remainder bucketed to 128 rows — the set of program shapes the
-            # kernel ever compiles is closed (<= 5), so the persistent
-            # compilation cache stays warm across runs regardless of how many
-            # windows each case contributed.
+            # ONE dispatch shape: every chunk (including the remainder) pads
+            # to exactly windows_per_batch rows, so the whole extraction run
+            # loads a single compiled window program.  Serialized executables
+            # for this kernel are ~25 MB and each distinct program costs a
+            # multi-second relay upload per process (measured: cache HIT
+            # logged, then ~20-50 s in compile_and_load), which dwarfs the
+            # wasted compute of one partial chunk (~4 s worst case).  Small
+            # workloads can lower windows_per_batch instead.
             kernel = _window_batch_kernel_jit()
             src = all_samples.astype(np.float32)
             packs = []
             for i in range(0, len(src), windows_per_batch):
                 chunk = src[i : i + windows_per_batch]
                 k = len(chunk)
-                if k == windows_per_batch:
-                    padded = chunk
-                else:
-                    padded, _ = _pad_batch(chunk, bucket=128)
+                if k < windows_per_batch:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((windows_per_batch - k, chunk.shape[1]), np.float32)]
+                    )
                 packs.append(
                     np.asarray(
-                        kernel(padded, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg)
+                        kernel(chunk, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg)
                     )[:k]
                 )
             packed = np.concatenate(packs, axis=0)
