@@ -34,8 +34,9 @@ def main(argv=None):
     p.add_argument("--case-ids", type=int, nargs="*", default=None)
     p.add_argument("--duration", type=float, default=120.0, help="synthetic record seconds")
     p.add_argument("--precision", type=str, default="float64", choices=["float32", "float64"])
-    p.add_argument("--engine", type=str, default="host", choices=["host", "device"],
-                   help="delineation engine: host f64 (parity) or batched device f32")
+    p.add_argument("--engine", type=str, default="host", choices=["host", "python", "device"],
+                   help="delineation engine: host f64 (native C++ first), python f64 "
+                        "(pure-python reference-equivalent), or batched device f32")
     p.add_argument("--no-cache", action="store_true")
     p.add_argument("--batched", action="store_true",
                    help="pool windows across cases into large device batches")
