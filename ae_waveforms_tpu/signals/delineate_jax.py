@@ -127,9 +127,13 @@ def _local_max_mask(d: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 
 
 def _next_index(mask: jnp.ndarray) -> jnp.ndarray:
-    """nxt[k] = smallest index >= k with mask, else BIG (reverse cummin)."""
+    """nxt[k] = smallest index >= k with mask, else BIG (reverse cummin).
+
+    flip + ``lax.cummin`` + flip: ~10x faster on TPU than
+    ``associative_scan(minimum, reverse=True)`` at these shapes (measured
+    189 -> 18 ms for two (256,72,896) scans, benchmarks/abl_tp_micro.py)."""
     idx = jnp.where(mask, jnp.arange(mask.shape[0]), BIG)
-    return jax.lax.associative_scan(jnp.minimum, idx, reverse=True)
+    return jax.lax.cummin(idx[::-1])[::-1]
 
 
 def _masked_last(mask: jnp.ndarray) -> jnp.ndarray:
@@ -168,18 +172,35 @@ def _tp_peak_one(ecg, dwt_row, start, length, eps_weight, expected_latency, symm
     k = jnp.arange(w)
     # nxt_peak[k+1] is a unit shift, not a gather
     partner = jnp.concatenate([nxt_peak[1:], jnp.full((1,), BIG, nxt_peak.dtype)])
-    cand = peaks & (partner < BIG) & (d > 0)
-    cand = cand & (jnp.where(partner < w, d[jnp.clip(partner, 0, w - 1)], 0.0) < 0)
+    # "d at the partner peak is negative" without the (w,)-wide value gather
+    # (take_along_axis at these shapes costs ~240 ms/batch): the next peak is
+    # negative iff the next NEGATIVE peak is the next peak.
+    nxt_neg = _next_index(peaks & (d < 0))
+    partner_neg = jnp.concatenate([nxt_neg[1:], jnp.full((1,), BIG, nxt_neg.dtype)])
+    cand = peaks & (partner < BIG) & (d > 0) & (partner_neg == partner)
     idx_zero = nxt_cross  # first crossing at/after the positive peak
     cand = cand & (idx_zero <= partner) & (idx_zero < w)
-    iz = jnp.clip(idx_zero, 0, w - 1)
-    latency = iz.astype(d.dtype) / fs - expected_latency
-    penalty = jnp.abs(latency) if symmetric else latency
-    score = e[iz] - penalty
-    score = jnp.where(cand, score, -jnp.inf)
-    best = jnp.argmax(score)
-    found = ok & jnp.any(cand)
-    return jnp.where(found, (idx_zero[best] + start).astype(jnp.float32), jnp.nan)
+
+    # Crossing-bucket argmax.  score[k] = e[iz[k]] - penalty(iz[k]) depends
+    # ONLY on the crossing index iz[k], and every candidate k with the same
+    # next crossing c shares it, so "argmax score over candidates, then take
+    # its crossing" equals "argmax of g[c] = e[c] - penalty(c) over HIT
+    # crossings" (buckets are ordered in k, so the first-max tie-break picks
+    # the same crossing).  A crossing c is hit iff some candidate lies in
+    # (previous crossing, c].  This removes the (w,)-wide e[iz] value gather
+    # (~240 ms/batch at these shapes, benchmarks/abl_tp_micro.py).
+    last_cand_le = jax.lax.cummax(jnp.where(cand, k, -1))
+    last_cross_le = jax.lax.cummax(jnp.where(cross, k, -1))
+    prev_cross_lt = jnp.concatenate(
+        [jnp.full((1,), -1, last_cross_le.dtype), last_cross_le[:-1]]
+    )
+    hit = cross & (last_cand_le > prev_cross_lt)
+    latency_c = k.astype(d.dtype) / fs - expected_latency
+    penalty_c = jnp.abs(latency_c) if symmetric else latency_c
+    g = jnp.where(hit, e - penalty_c, -jnp.inf)
+    best_c = jnp.argmax(g)
+    found = ok & jnp.any(hit)
+    return jnp.where(found, (best_c + start).astype(jnp.float32), jnp.nan)
 
 
 def _onset_one(dwt_row, pk, dur, weight, negate, w=W):
