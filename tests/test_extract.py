@@ -101,3 +101,23 @@ def test_parallel_preprocessing_prefetch():
     for x, y in zip(a, b):
         np.testing.assert_allclose(x.waves, y.waves, atol=1e-9)
         np.testing.assert_array_equal(x.indices, y.indices)
+
+
+def test_batched_device_engine_chunking_matches_per_case():
+    """The device-engine flush path (pooled filtering + fixed
+    windows_per_batch chunks with a padded remainder) must match the
+    per-case device path, across a chunk boundary."""
+    cfg = ExtractionConfig(precision="float32", delineation_engine="device")
+    loader = lambda cid: synthetic_ecg_record(duration_s=65.0, seed=300 + cid)  # noqa: E731
+    ids = [1, 2, 3]
+    per_case = extract_cases(ids, loader, cfg)
+    batched = extract_cases(ids, loader, cfg, batched=True, windows_per_batch=4)
+    assert len(per_case) == len(batched)
+    assert sum(r.n_windows_raw for r in batched) > 4  # crosses a chunk boundary
+    for a, b in zip(per_case, batched):
+        assert a.case_id == b.case_id
+        np.testing.assert_allclose(a.waves, b.waves, atol=2e-5)
+        mask = ~(np.isnan(a.features) & np.isnan(b.features))
+        np.testing.assert_allclose(a.features[mask], b.features[mask], atol=1e-4)
+        np.testing.assert_array_equal(a.indices, b.indices)
+        assert a.n_windows_raw == b.n_windows_raw
