@@ -52,17 +52,23 @@ def _gradient(x: jnp.ndarray) -> jnp.ndarray:
 def _boxcar_smooth(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """Edge-replicating boxcar smoothing matching the reference detector's
     helper: pad `size` copies of each edge value, convolve 'same' with a
-    normalized boxcar, trim the padding."""
+    normalized boxcar, trim the padding.
+
+    The shifted cumulative sums are STATIC slices (offsets are compile-time
+    constants), not clipped-iota gathers — a (256, 10k) batch pays ~36 ms
+    per gather on TPU and 0 for a slice (benchmarks/abl_scatter.py)."""
     padded = jnp.concatenate([jnp.full((size,), x[0], x.dtype), x, jnp.full((size,), x[-1], x.dtype)])
     # np.convolve(w, padded, 'same') with boxcar w of length `size` equals a
     # moving mean over window [n - size + 1 + (size-1)//2, n + (size-1)//2].
     csum = jnp.concatenate([jnp.zeros((1,), x.dtype), jnp.cumsum(padded)])
-    lo_off = (size - 1) // 2 - size + 1
+    P = padded.shape[0]
+    lo_off = (size - 1) // 2 - size + 1  # <= 0
     hi_off = (size - 1) // 2
-    n = jnp.arange(padded.shape[0])
-    lo = jnp.clip(n + lo_off, 0, padded.shape[0])
-    hi = jnp.clip(n + hi_off + 1, 0, padded.shape[0])
-    same = (csum[hi] - csum[lo]) / size
+    # csum[clip(n + lo_off, 0, P)] for n in [0, P) as a static slice+edge pad
+    lo_vals = jnp.concatenate([jnp.full((-lo_off,), csum[0], x.dtype), csum[: P + lo_off]])
+    # csum[clip(n + hi_off + 1, 0, P)] likewise
+    hi_vals = jnp.concatenate([csum[hi_off + 1 :], jnp.full((hi_off,), csum[P], x.dtype)])
+    same = (hi_vals - lo_vals) / size
     return same[size:-size]
 
 
@@ -159,9 +165,12 @@ def find_rpeaks(
     idxs = jnp.arange(T - 1)
 
     def compact(mask, fill):
-        rank = jnp.cumsum(mask) - 1
-        out = jnp.full((MAX_SEGMENTS,), fill, jnp.int32)
-        out = out.at[jnp.where(mask, rank, MAX_SEGMENTS)].set(idxs, mode="drop")
+        # first MAX_SEGMENTS masked indices, ascending — top_k on negated
+        # indices (~3x cheaper than the scatter form on TPU,
+        # benchmarks/abl_scatter.py)
+        key = jnp.where(mask, -idxs, -(T + 1))
+        v = jax.lax.top_k(key, MAX_SEGMENTS)[0]
+        out = jnp.where(v > -(T + 1), -v, fill).astype(jnp.int32)
         return out, jnp.sum(mask)
 
     beg_qrs, n_beg = compact(rise, T)
