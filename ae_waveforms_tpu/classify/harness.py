@@ -244,6 +244,7 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
         by_depth.setdefault(bucket_of(int(p["max_depth"])), []).append(i)
 
     fold_scores = np.zeros((len(params), cv))
+    fold_done = np.zeros((len(params), cv), bool)
     done = 0
 
     def dispatch(chunk, fold, depth):
@@ -267,12 +268,20 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
         aucs = np.asarray(aucs_dev)  # (S,) — blocks on the device queue
         for j, ci in enumerate(chunk):
             fold_scores[ci, fold] = aucs[j]
+            fold_done[ci, fold] = True
         done += len(chunk)
         if verbose:
-            print(
-                f"grid search {done}/{len(params) * cv} fold-fits: "
-                f"best AUC {fold_scores.mean(axis=1).max():.4f}"
-            )
+            # mean over COMPLETED folds only — unscored folds still hold 0.0
+            # and would drag the printed best down to ~best/cv mid-run
+            complete = fold_done.all(axis=1)
+            if complete.any():
+                best = fold_scores[complete].mean(axis=1).max()
+                print(
+                    f"grid search {done}/{len(params) * cv} fold-fits: "
+                    f"best AUC {best:.4f}"
+                )
+            else:
+                print(f"grid search {done}/{len(params) * cv} fold-fits")
 
     # one-chunk lookahead: while the device runs chunk k+1, the host pulls
     # chunk k's margins and scores its AUCs — host work and transfers hide

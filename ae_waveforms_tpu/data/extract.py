@@ -101,16 +101,20 @@ def _pad_batch(arr: np.ndarray, bucket: int = 16):
     return np.concatenate([arr, pad], axis=0), n
 
 
-def preprocess_record(record: np.ndarray, cfg: ExtractionConfig) -> np.ndarray:
-    """Trim NaN edges, z-score, zero-phase HP+LP (data_extract_vitaldb.py:53-78)."""
+def _trim_zscore(record: np.ndarray, dtype) -> np.ndarray:
+    """NaN-edge trim + global z-score, shared by the per-record and batched
+    preprocess paths."""
     finite = ~np.isnan(record)
     if not finite.any():
-        return record[:0]
+        return np.asarray(record[:0], dtype)
     start = int(np.argmax(finite))
     end = len(record) - int(np.argmax(finite[::-1]))
-    rec = record[start:end]
+    return np.asarray(zscore(np.asarray(record[start:end], dtype)), dtype)
 
-    rec = zscore(np.asarray(rec, np.float64 if cfg.precision == "float64" else np.float32))
+
+def preprocess_record(record: np.ndarray, cfg: ExtractionConfig) -> np.ndarray:
+    """Trim NaN edges, z-score, zero-phase HP+LP (data_extract_vitaldb.py:53-78)."""
+    rec = _trim_zscore(record, np.float64 if cfg.precision == "float64" else np.float32)
     if cfg.butter_hp_ecg:
         rec = butterworth(rec, "high", cfg.butter_hp_ecg, cfg.sampling_frequency, cfg.butter_order, cfg.precision)
     if cfg.butter_lp_ecg:
@@ -361,15 +365,7 @@ def preprocess_records_batched(records: List[np.ndarray], cfg: ExtractionConfig)
     float64 precision keeps the exact per-record scipy path."""
     if cfg.precision == "float64":
         return [preprocess_record(r, cfg) for r in records]
-    trimmed = []
-    for record in records:
-        finite = ~np.isnan(record)
-        if not finite.any():
-            trimmed.append(np.asarray(record[:0], np.float32))
-            continue
-        start = int(np.argmax(finite))
-        end = len(record) - int(np.argmax(finite[::-1]))
-        trimmed.append(np.asarray(zscore(np.asarray(record[start:end], np.float32)), np.float32))
+    trimmed = [_trim_zscore(r, np.float32) for r in records]
     return butterworth_batched(
         trimmed, cfg.butter_hp_ecg or None, cfg.butter_lp_ecg or None,
         cfg.sampling_frequency, cfg.butter_order,
@@ -410,6 +406,11 @@ def extract_cases_batched(
             kernel = _window_batch_kernel_jit()
             src = all_samples.astype(np.float32)
             packs = []
+            inflight = None  # (n_real, in-flight device result)
+            # one-chunk lookahead: dispatch chunk k+1 before pulling chunk
+            # k's result, so host transfers hide behind device execution
+            # instead of serialising with it (same pattern as the grid
+            # search's chunk scorer, classify/harness.py)
             for i in range(0, len(src), windows_per_batch):
                 chunk = src[i : i + windows_per_batch]
                 k = len(chunk)
@@ -417,11 +418,11 @@ def extract_cases_batched(
                     chunk = np.concatenate(
                         [chunk, np.zeros((windows_per_batch - k, chunk.shape[1]), np.float32)]
                     )
-                packs.append(
-                    np.asarray(
-                        kernel(chunk, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg)
-                    )[:k]
-                )
+                dev = kernel(chunk, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg)
+                if inflight is not None:
+                    packs.append(np.asarray(inflight[1])[: inflight[0]])
+                inflight = (k, dev)
+            packs.append(np.asarray(inflight[1])[: inflight[0]])
             packed = np.concatenate(packs, axis=0)
             keep = packed[:, 0] > 0.5
             medians = packed[keep, 2:322]

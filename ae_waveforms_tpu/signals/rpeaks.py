@@ -28,7 +28,7 @@ The only sequential part is the final min-delay acceptance, a
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,8 +37,9 @@ import numpy as np
 __all__ = ["find_rpeaks", "find_rpeaks_batch", "MAX_SEGMENTS", "MAX_PEAKS"]
 
 MAX_SEGMENTS = 128  # QRS candidate regions per 20-s window (>= physiological max)
-MAX_PEAKS = 72  # 20 s / 0.3 s min-delay refractory = 67 acceptable peaks, + margin
-MAX_CANDIDATES = 2048  # in-segment strict local maxima cap (30 Hz LP bound ~600)
+# legacy fixed output width; the kernels now derive the peak-buffer width
+# from the window length and refractory period (see find_rpeaks)
+MAX_PEAKS = 72
 
 
 def _gradient(x: jnp.ndarray) -> jnp.ndarray:
@@ -138,11 +139,15 @@ def _nearest_higher(maxt, pos, v, lo_bound, hi_bound, levels, left: bool):
 def find_rpeaks(
     signal: jnp.ndarray,
     sampling_rate: int = 500,
-    max_peaks: int = MAX_PEAKS,
+    max_peaks: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Detect R peaks in one window.
 
     Returns (peaks, n_peaks): ``peaks`` is (max_peaks,) int32 padded with -1.
+    ``max_peaks`` defaults to the provable bound for the window: the 0.3 s
+    min-delay refractory admits at most T/mindelay peaks (and the acceptance
+    scan sees at most MAX_SEGMENTS segments), so no acceptable peak can ever
+    be silently truncated whatever ``sample_length`` is configured.
     """
     x = signal.astype(jnp.float32)
     T = x.shape[0]
@@ -153,6 +158,12 @@ def find_rpeaks(
     smooth_kernel = int(np.rint(smoothwindow * sampling_rate))
     avg_kernel = int(np.rint(avgwindow * sampling_rate))
     mindelay = int(np.rint(mindelay_s * sampling_rate))
+    if max_peaks is None:
+        max_peaks = min(MAX_SEGMENTS, T // mindelay + 2)
+    # strict local maxima cannot be adjacent, so (T-1)//2 + 1 bounds the
+    # in-segment candidate count for ANY input — no silent drop cliff even
+    # for unfiltered broadband signals (cfg.butter_lp_ecg=0 is a public knob)
+    max_candidates = (T - 1) // 2 + 1
 
     absgrad = jnp.abs(_gradient(x))
     smoothgrad = _boxcar_smooth(absgrad, smooth_kernel)
@@ -219,14 +230,14 @@ def find_rpeaks(
 
     # --- candidate compaction -----------------------------------------------
     # Prominence walks run only at candidate local maxima, not all T
-    # positions: the extraction contract low-passes every window at 30 Hz, so
-    # strict local maxima are >= ~17 samples apart (<~600 per 20-s window);
-    # MAX_CANDIDATES gives >3x headroom.  This turns the dominant cost of the
-    # detector (15-level sparse-table walks, formerly 2D gathers over all
-    # 10 000 positions) into 1D row gathers over ~2 000 slots.
+    # positions.  This turns the dominant cost of the detector (15-level
+    # sparse-table walks, formerly 2D gathers over all 10 000 positions)
+    # into 1D row gathers over the candidate slots; the slot count is the
+    # provable (T-1)//2+1 bound computed above, so the compaction can never
+    # drop a real candidate.
     cand_rank = jnp.cumsum(cand) - 1
-    ci = jnp.full((MAX_CANDIDATES,), T, jnp.int32)
-    ci = ci.at[jnp.where(cand, cand_rank, MAX_CANDIDATES)].set(pos, mode="drop")
+    ci = jnp.full((max_candidates,), T, jnp.int32)
+    ci = ci.at[jnp.where(cand, cand_rank, max_candidates)].set(pos, mode="drop")
     cvalid = ci < T
     cis = jnp.clip(ci, 0, T - 1)
     cv = x[cis]
@@ -274,6 +285,6 @@ def find_rpeaks(
 
 
 @functools.partial(jax.jit, static_argnames=("sampling_rate", "max_peaks"))
-def find_rpeaks_batch(signals: jnp.ndarray, sampling_rate: int = 500, max_peaks: int = MAX_PEAKS):
+def find_rpeaks_batch(signals: jnp.ndarray, sampling_rate: int = 500, max_peaks: Optional[int] = None):
     """vmap of :func:`find_rpeaks` over a (B, T) batch."""
     return jax.vmap(lambda s: find_rpeaks(s, sampling_rate, max_peaks))(signals)
