@@ -94,3 +94,31 @@ def test_detected_rate_plausible():
     peaks, n = find_rpeaks(w, 500)
     # ~24 beats in 20 s at 72 bpm; first 0.3 s excluded by the min-delay quirk
     assert 20 <= int(n) <= 28
+
+
+def test_long_window_no_peak_truncation():
+    """30-s windows (sample_length is a public knob) must not silently
+    truncate peaks: the buffer derives from T and the 0.3 s refractory."""
+    rec = synthetic_ecg_record(duration_s=32.0, fs=500, hr_bpm=150.0, seed=7)
+    rec = zscore(rec)
+    rec = butterworth(rec, "high", 1.0, 500, 4, precision="float64")
+    rec = butterworth(rec, "low", 30.0, 500, 4, precision="float64")
+    w = np.asarray(zscore(rec[:15000]), np.float32)
+    ref = oracle_findpeaks(w.astype(np.float64), 500)
+    peaks, n = find_rpeaks(w, 500)
+    got = np.asarray(peaks)[: int(n)]
+    assert int(n) == len(got), "n_peaks must count stored peaks"
+    np.testing.assert_array_equal(got, ref)
+    assert len(ref) > 60  # 150 bpm x 30 s actually stresses the old 72 cap
+
+
+def test_unfiltered_broadband_noise_matches_oracle():
+    """No low-pass at all (cfg.butter_lp_ecg=0 is public): broadband noise
+    maximizes strict local maxima; the provable candidate bound must keep
+    the detector exact rather than silently dropping candidates."""
+    rng = np.random.default_rng(5)
+    w = np.asarray(rng.standard_normal(10000), np.float32)
+    ref = oracle_findpeaks(w.astype(np.float64), 500)
+    peaks, n = find_rpeaks(w, 500)
+    got = np.asarray(peaks)[: int(n)]
+    np.testing.assert_array_equal(got, ref)
