@@ -13,7 +13,11 @@ Run on the real chip from the repo root (keep the axon env):
 PYTHONPATH breaks the axon TPU plugin registration in this container.)
 """
 
-from __future__ import annotations
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 
 import json
 import time
