@@ -112,6 +112,11 @@ def _fit_gbt_margins(
     spine), so hyperparameter sweeps can bucket depths coarsely and compile
     even fewer programs."""
     n, F = bins.shape
+    # the gather-free routing contraction bins_f @ feat_oh.T runs through the
+    # MXU, which on TPU defaults to bf16 inputs; bf16 represents integers
+    # exactly only up to 256, so bin ids (< n_bins) must stay <= 256 or the
+    # +0.5 threshold compare silently mis-routes rows
+    assert n_bins <= 256, f"n_bins={n_bins} > 256 would corrupt bf16 MXU split routing"
     max_nodes = 2**max_depth
     if n_active is None:
         n_active = n_estimators
@@ -125,7 +130,7 @@ def _fit_gbt_margins(
     onehot = (bins[:, :, None] == jnp.arange(n_bins)[None, None, :]).astype(
         jnp.float32
     ).reshape(n, F * n_bins)
-    bins_f = bins.astype(jnp.float32)  # bin ids < n_bins are exact in f32
+    bins_f = bins.astype(jnp.float32)  # bin ids <= 256 are exact even as bf16 MXU inputs
     # prefix sums over the bin axis as an MXU matmul (see module docstring)
     tri = jnp.triu(jnp.ones((n_bins, n_bins), jnp.float32))  # tri[i,j]=1 if i<=j
 

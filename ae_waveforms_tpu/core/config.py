@@ -63,7 +63,11 @@ class ExtractionConfig:
     # TPU-native knobs (no reference counterpart)
     precision: str = "float32"  # "float32" | "float64" (parity-check mode)
     # "host": float64 per-sample delineation (parity oracle path);
-    # "device": batched float32 JAX delineation (fast path, ~99.7% index-exact)
+    # "device": batched float32 JAX delineation (fast path) — index-exact on
+    # the nominal validation set (1510/1510 fiducials, BENCHMARKS.md) and
+    # >=98% exact / >=99% within +/-1 sample on pathological adversarial
+    # morphologies where f32 threshold flips can move an index
+    # (tests/test_delineate_adversarial.py)
     delineation_engine: str = "host"
     max_peaks_per_sample: int = 96  # fixed-shape padded peak buffer (20s @ 180bpm -> 60)
     max_qrs_segments: int = 256  # fixed-shape QRS-candidate buffer

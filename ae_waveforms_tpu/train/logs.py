@@ -73,6 +73,13 @@ class CsvLogs:
         with open(os.path.join(self.dir, "training_log_validation.csv"), "a", newline="") as f:
             csv.writer(f).writerow([epoch, step, lr, train_loss, val_loss])
 
+    def close(self) -> None:
+        """Flush buffered train rows; REQUIRED at end-of-run — without it,
+        up to validation_interval - 1 trailing rows after the last
+        validation would be dropped (the reference writes every 10 steps
+        unconditionally, run_train.py:305-309)."""
+        self.flush_train()
+
 
 class JsonlTracker:
     """Append-only scalar stream tracker (Neptune-capability stand-in).

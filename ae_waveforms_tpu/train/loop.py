@@ -360,5 +360,6 @@ def main_train(
     ckpt.save_state(os.path.join(results_dir, "model_autoencoder.npz"), final_params)
     logger.info(f"Training is finished. Best validation loss: {valid_loss_min}")
     logger.info(f"Execution finished and saved at: {results_dir} ({time.time() - t_start:.1f}s)")
+    csvlog.close()
     tracker.close()
     return results_dir

@@ -193,6 +193,61 @@ def test_effective_epochs_rescale():
     assert effective_epochs(cfg2, 5000) == int(np.ceil(228543 / (5000 / 128)))
 
 
+def test_training_log_trailing_rows_flushed(tmp_path):
+    """Train-step CSV rows logged after the last validation must survive to
+    disk (reference writes every 10 steps unconditionally,
+    run_train.py:305-309).  With validation_interval larger than the epoch,
+    the only validation is at local step 0, so EVERY 10-step row is buffered
+    past the last flush point — before the close() fix the file was never
+    written at all."""
+    import csv
+
+    arrays = _toy_arrays(n=240, n_cases=20)
+    dataset_dir = str(tmp_path / "data")
+    save_arrays(arrays, dataset_dir)
+    cfg = TrainConfig(
+        dataset_dir=dataset_dir,
+        results_dir=str(tmp_path / "results"),
+        model_class="LeNet5AutoencoderAvgPool",
+        latent_size=4,
+        batch_size=8,
+        epochs=1,
+        validation_interval=1000,  # > steps_per_epoch: no flush-by-validation
+        split_size_val=0.25,
+        split_size_test=0.25,
+        seed=1,
+        plotting=False,
+    )
+    from ae_waveforms_tpu.train.loop import main_train
+
+    results_dir = main_train(cfg, arrays=arrays)
+    log_path = os.path.join(results_dir, "training_log.csv")
+    assert os.path.isfile(log_path), "trailing train-step rows were dropped"
+    with open(log_path) as f:
+        rows = list(csv.reader(f))
+    # every local step s with s % 10 == 0, s != 0 gets a row
+    steps = [int(r[1]) for r in rows]
+    assert steps and steps[0] == 10 and all(s % 10 == 0 for s in steps)
+
+    # validation-driven flush still works and stays row-duplicate free
+    with open(os.path.join(results_dir, "training_log_validation.csv")) as f:
+        vrows = list(csv.reader(f))
+    assert len(vrows) == 1  # only local step 0 validated
+
+
+def test_csvlogs_close_flushes(tmp_path):
+    from ae_waveforms_tpu.train.logs import CsvLogs
+
+    logs = CsvLogs(str(tmp_path))
+    logs.train_step(1, 10, 1e-3, 0.5)
+    logs.train_step(1, 20, 1e-3, 0.4)
+    assert not os.path.isfile(os.path.join(str(tmp_path), "training_log.csv"))
+    logs.close()
+    with open(os.path.join(str(tmp_path), "training_log.csv")) as f:
+        assert len(f.read().strip().splitlines()) == 2
+    logs.close()  # idempotent
+
+
 def test_compute_dtype_flag(tmp_path):
     """compute_dtype='float32' runs under full-precision matmuls (smoke)."""
     arrays = _toy_arrays(n=120, n_cases=20)
