@@ -319,13 +319,19 @@ def _fit_eval(data: ClassData, size: int, seed: int, best_params: Dict, drop_col
 
 
 def _fit_eval_vectorized(
-    data: ClassData, size: int, n_seeds: int, best_params: Dict, drop_col: Optional[int]
+    data: ClassData, size: int, n_seeds: int, best_params: Dict, drop_col: Optional[int],
+    mesh=None,
 ) -> np.ndarray:
     """All seeds of one size fitted in a single vmapped device program.
 
     Seed subsets become row-weight masks over the pooled train matrix;
     binning uses the pool's quantile edges (vs per-subset edges in the
-    sequential path — an approximation-detail difference only)."""
+    sequential path — an approximation-detail difference only).
+
+    ``mesh``: shard the seed axis over the mesh's 'data' axis (the TPU
+    counterpart of the reference's joblib ``n_jobs=-1`` fan-out,
+    main_ae_classify.py:67-75); seeds pad to a mesh multiple with zero-weight
+    rows, whose fits are inert and sliced off."""
     import jax
 
     from ae_waveforms_tpu.classify.gbt import (
@@ -354,7 +360,23 @@ def _fit_eval_vectorized(
     edges = compute_bin_edges(X_pool)
     bins_pool = bin_data(X_pool, edges)
     bins_test = bin_data(np.asarray(X_test, np.float32), edges)
+    n_fit = n_seeds
     rngs = jax.vmap(jax.random.PRNGKey)(np.arange(n_seeds) + 42)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = mesh.shape["data"]
+        n_fit = ((n_seeds + n_data - 1) // n_data) * n_data
+        if n_fit != n_seeds:
+            weights = np.concatenate(
+                [weights, np.zeros((n_fit - n_seeds, weights.shape[1]), np.float32)]
+            )
+            rngs = jax.vmap(jax.random.PRNGKey)(np.arange(n_fit) + 42)
+        seed_sharding = NamedSharding(mesh, P("data", None))
+        weights = jax.device_put(np.asarray(weights), seed_sharding)
+        rngs = jax.device_put(np.asarray(rngs), seed_sharding)
+        bins_pool = jax.device_put(np.asarray(bins_pool), NamedSharding(mesh, P()))
+        bins_test = jax.device_put(np.asarray(bins_test), NamedSharding(mesh, P()))
 
     p = best_params
     ens = fit_gbt_multi(
@@ -364,7 +386,7 @@ def _fit_eval_vectorized(
         min_child_weight=float(p["min_child_weight"]), subsample=float(p["subsample"]),
         colsample_bytree=float(p["colsample_bytree"]),
     )
-    margins = np.asarray(predict_margin_multi(ens, bins_test, int(p["max_depth"])))
+    margins = np.asarray(predict_margin_multi(ens, bins_test, int(p["max_depth"])))[:n_seeds]
     return 1.0 / (1.0 + np.exp(-margins))  # (S, n_test)
 
 
@@ -377,16 +399,18 @@ def size_seed_sweep(
     out_dir: Optional[str] = None,
     file_stem: str = "",
     vectorized: bool = False,
+    mesh=None,
 ) -> Tuple[List[Dict], List[Dict]]:
     """AUC-vs-training-size evaluation; writes individual_aucs.csv and
     summary_auc_by_size.csv plus the AUC-vs-size plot when out_dir given.
-    ``vectorized=True`` fits all seeds of a size in one device program."""
+    ``vectorized=True`` fits all seeds of a size in one device program;
+    ``mesh`` additionally shards the seed axis over the mesh's 'data' axis."""
     auc_records, summary_records = [], []
     for size in sizes:
         size = min(size, len(data.control_train), len(data.sick_train))
         aucs = []
         if vectorized:
-            probas = _fit_eval_vectorized(data, size, n_seeds, best_params, drop_col)
+            probas = _fit_eval_vectorized(data, size, n_seeds, best_params, drop_col, mesh=mesh)
             for seed in range(n_seeds):
                 auc = roc_auc_score(data.y_test, probas[seed])
                 aucs.append(auc)
@@ -430,14 +454,16 @@ def ppv_analysis(
     n_seeds: int = 25,
     threshold: float = 0.5,
     vectorized: bool = False,
+    mesh=None,
 ) -> Dict:
     """Median/IQR AUC and PPV at the given threshold for one training size —
     the north-star hypokalaemia PPV metric (analysis_PPV_hypokalaemia.py).
-    ``vectorized=True`` fits all seeds in one vmapped device program."""
+    ``vectorized=True`` fits all seeds in one vmapped device program;
+    ``mesh`` shards the seed axis over the mesh's 'data' axis."""
     size = min(size, len(data.control_train), len(data.sick_train))
     aucs, ppvs = [], []
     if vectorized:
-        probas = _fit_eval_vectorized(data, size, n_seeds, best_params, None)
+        probas = _fit_eval_vectorized(data, size, n_seeds, best_params, None, mesh=mesh)
         seed_probas = [probas[s] for s in range(n_seeds)]
     else:
         seed_probas = [_fit_eval(data, size, seed, best_params, None) for seed in range(n_seeds)]

@@ -61,7 +61,7 @@ def run_latent(args):
     print("Best hyperparameters found:", gs["best_params"])
     out = os.path.join(args.data, "results", os.path.splitext(args.sick_file)[0].split("_")[-1].lower())
     size_seed_sweep(data, gs["best_params"], sizes=args.sizes, n_seeds=args.seeds, out_dir=out,
-                    vectorized=args.vectorized)
+                    vectorized=args.vectorized, mesh=args.mesh)
 
 
 def run_ppv(args):
@@ -72,7 +72,8 @@ def run_ppv(args):
     gs = grid_search_cv(X, y, n_candidates=args.gs_candidates, random_state=1, verbose=True,
                         vectorized=args.vectorized)
     print("Best hyperparameters found:", gs["best_params"])
-    ppv_analysis(data, gs["best_params"], size=6000, n_seeds=args.seeds)
+    ppv_analysis(data, gs["best_params"], size=6000, n_seeds=args.seeds,
+                 vectorized=args.vectorized, mesh=args.mesh)
 
 
 def run_features(args):
@@ -128,7 +129,16 @@ def main(argv=None):
     p.add_argument("--save_models", action="store_true")
     p.add_argument("--vectorized", action="store_true",
                    help="fit all seeds of a size in one vmapped device program")
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="shard the vectorized seed axis over an n-device mesh "
+                        "(0 = single-device programs; implies --vectorized)")
     args = p.parse_args(argv)
+    args.mesh = None
+    if args.n_devices:
+        from ae_waveforms_tpu.parallel.mesh import data_mesh
+
+        args.mesh = data_mesh(args.n_devices)
+        args.vectorized = True
     {"latent": run_latent, "features": run_features, "deep": run_deep, "ppv": run_ppv}[args.task](args)
 
 

@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trained_model", type=str, default=d.trained_model)
     p.add_argument("--plotting", type=bool, default=d.plotting)
     p.add_argument("--tracker", type=str, default=d.tracker or "none")
+    # device-mesh shape (TPU-native; replaces the reference's dead DDP flags)
+    p.add_argument("--n_devices", type=int, default=d.n_devices,
+                   help="devices in the training mesh (0 = all visible)")
+    p.add_argument("--model_parallel", type=int, default=d.model_parallel,
+                   help="size of the 'model' axis of the (data, model) mesh")
     return p
 
 
@@ -84,6 +89,8 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         trained_model=args.trained_model,
         plotting=args.plotting,
         tracker=None if args.tracker in ("none", "") else args.tracker,
+        n_devices=args.n_devices,
+        model_parallel=args.model_parallel,
     )
 
 

@@ -134,6 +134,12 @@ class TrainConfig:
 
     # TPU-native knobs
     data_axis: str = "data"  # mesh axis for batch sharding
+    # device-mesh shape (replaces the reference's vestigial DDP block,
+    # run_train.py:448-456): n_devices=0 uses every visible device;
+    # model_parallel > 1 carves a 2-D (data, model) grid whose 'model' axis
+    # parallel/tp.py layers use
+    n_devices: int = 0
+    model_parallel: int = 1
     # matmul precision: "default" = hardware default (bf16 multiplies on TPU,
     # the fast path), "float32" = full f32 matmuls (parity-checking mode),
     # mirroring the reference's scaffolded-but-off AMP (run_train.py:24-27)

@@ -382,7 +382,15 @@ def extract_cases_batched(
 ) -> List[CaseResult]:
     """Cross-case batched pipeline: host preprocessing/segmentation per
     record, then the per-window kernels (R peaks, QC, median beats,
-    delineation+features) run over pooled window batches."""
+    delineation+features) run over pooled window batches.
+
+    The device engine runs as a streaming pipeline (see
+    ``_extract_cases_batched_device``); host engines pool windows per
+    accumulated case group."""
+    if cfg.delineation_engine == "device":
+        return _extract_cases_batched_device(
+            case_ids, record_loader, cfg, cache_dir, progress, windows_per_batch
+        )
     results: List[CaseResult] = []
     pending: List[tuple] = []  # (cid, samples, indices)
     n_windows = 0
@@ -394,63 +402,28 @@ def extract_cases_batched(
         all_samples = np.concatenate([s for _, s, _ in pending], axis=0)
         spans = np.cumsum([0] + [len(s) for _, s, _ in pending])
 
-        if cfg.delineation_engine == "device":
-            # ONE dispatch shape: every chunk (including the remainder) pads
-            # to exactly windows_per_batch rows, so the whole extraction run
-            # loads a single compiled window program.  Serialized executables
-            # for this kernel are ~25 MB and each distinct program costs a
-            # multi-second relay upload per process (measured: cache HIT
-            # logged, then ~20-50 s in compile_and_load), which dwarfs the
-            # wasted compute of one partial chunk (~4 s worst case).  Small
-            # workloads can lower windows_per_batch instead.
-            kernel = _window_batch_kernel_jit()
-            src = all_samples.astype(np.float32)
-            packs = []
-            inflight = None  # (n_real, in-flight device result)
-            # one-chunk lookahead: dispatch chunk k+1 before pulling chunk
-            # k's result, so host transfers hide behind device execution
-            # instead of serialising with it (same pattern as the grid
-            # search's chunk scorer, classify/harness.py)
-            for i in range(0, len(src), windows_per_batch):
-                chunk = src[i : i + windows_per_batch]
-                k = len(chunk)
-                if k < windows_per_batch:
-                    chunk = np.concatenate(
-                        [chunk, np.zeros((windows_per_batch - k, chunk.shape[1]), np.float32)]
-                    )
-                dev = kernel(chunk, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg)
-                if inflight is not None:
-                    packs.append(np.asarray(inflight[1])[: inflight[0]])
-                inflight = (k, dev)
-            packs.append(np.asarray(inflight[1])[: inflight[0]])
-            packed = np.concatenate(packs, axis=0)
-            keep = packed[:, 0] > 0.5
-            medians = packed[keep, 2:322]
-            rows = packed[keep, 322:357].astype(np.float64)
-            valid = packed[keep, 1] > 0.5
-        else:
-            samples_f32, n_real = _pad_batch(all_samples.astype(np.float32))
-            peaks, n_peaks = find_rpeaks_batch(samples_f32, cfg.sampling_frequency)
-            keep = qc_mask(
-                samples_f32, peaks, n_peaks, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg
-            )
-            peaks = np.asarray(peaks)[:n_real]
-            n_peaks = np.asarray(n_peaks)[:n_real]
-            keep = np.asarray(keep)[:n_real]
+        samples_f32, n_real = _pad_batch(all_samples.astype(np.float32))
+        peaks, n_peaks = find_rpeaks_batch(samples_f32, cfg.sampling_frequency)
+        keep = qc_mask(
+            samples_f32, peaks, n_peaks, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg
+        )
+        peaks = np.asarray(peaks)[:n_real]
+        n_peaks = np.asarray(n_peaks)[:n_real]
+        keep = np.asarray(keep)[:n_real]
 
-            kept = all_samples[keep]
-            kept_peaks, kept_n = peaks[keep], n_peaks[keep]
-            kept_f32, n_kept = _pad_batch(kept.astype(np.float32))[0], len(kept)
-            peaks_p, _ = _pad_batch(kept_peaks)
-            n_peaks_p, _ = _pad_batch(kept_n)
-            medians = np.asarray(median_beat_batch(kept_f32, peaks_p, n_peaks_p))[:n_kept]
-            peak_lists = [list(map(int, p[:k])) for p, k in zip(kept_peaks, kept_n)]
-            native_ok = cfg.delineation_engine != "python"
-            rows, valid = _feature_rows(
-                kept, peak_lists, cfg,
-                peaks_padded=kept_peaks if native_ok else None,
-                n_peaks=kept_n if native_ok else None,
-            )
+        kept = all_samples[keep]
+        kept_peaks, kept_n = peaks[keep], n_peaks[keep]
+        kept_f32, n_kept = _pad_batch(kept.astype(np.float32))[0], len(kept)
+        peaks_p, _ = _pad_batch(kept_peaks)
+        n_peaks_p, _ = _pad_batch(kept_n)
+        medians = np.asarray(median_beat_batch(kept_f32, peaks_p, n_peaks_p))[:n_kept]
+        peak_lists = [list(map(int, p[:k])) for p, k in zip(kept_peaks, kept_n)]
+        native_ok = cfg.delineation_engine != "python"
+        rows, valid = _feature_rows(
+            kept, peak_lists, cfg,
+            peaks_padded=kept_peaks if native_ok else None,
+            n_peaks=kept_n if native_ok else None,
+        )
 
         # split back per case: kept-window index within each case span
         kept_case = np.repeat(np.arange(len(pending)), np.diff(spans))[keep]
@@ -516,3 +489,156 @@ def extract_cases_batched(
     drain_prep()
     flush()
     return results
+
+
+def _extract_cases_batched_device(
+    case_ids: Sequence[int],
+    record_loader: Callable[[int], Optional[np.ndarray]],
+    cfg: ExtractionConfig,
+    cache_dir: Optional[str] = None,
+    progress: bool = False,
+    windows_per_batch: int = 512,
+    inflight_depth: int = 2,
+) -> List[CaseResult]:
+    """Streaming device extraction: cases flow window-by-window through a
+    single compiled (windows_per_batch, 10000) kernel with no per-group
+    barrier.
+
+    Three properties the per-group flush design lacked (measured 51.9 w/s
+    end-to-end vs 216+ w/s for the kernel alone — round-2 VERDICT):
+
+    - **full chunks only**: windows accumulate in a carry buffer and only
+      exact ``windows_per_batch``-row chunks dispatch; the remainder rides
+      into the next chunk instead of being zero-padded (the old design
+      padded a ~11-row remainder to 512 on nearly every group — almost 2x
+      wasted device compute).  Only the final end-of-run chunk pads.
+    - **persistent in-flight queue**: up to ``inflight_depth + 1`` chunks
+      stay un-pulled across the entire run, so host preprocessing,
+      segmentation, and per-case unpacking all overlap device execution;
+      results are pulled only when the queue is deep or the run ends.
+    - **ONE program shape**: every dispatch is (windows_per_batch, 10000),
+      so the run loads a single ~25 MB relay executable (see
+      ``_window_batch_kernel_jit``).
+
+    Results are returned in ``case_ids`` order regardless of completion
+    order; per-case cache writes are unchanged.
+    """
+    from collections import deque
+
+    kernel = _window_batch_kernel_jit()
+    W = windows_per_batch
+    by_cid = {}
+    case_meta: "deque[tuple]" = deque()  # (cid, n_windows, indices) in window order
+    buf: "deque[np.ndarray]" = deque()  # f32 window arrays awaiting dispatch
+    buf_n = 0
+    inflight: "deque[tuple]" = deque()  # (n_real_rows, device result)
+    avail: "deque[np.ndarray]" = deque()  # pulled packed rows awaiting consumption
+    avail_n = 0
+
+    def _take(q: "deque[np.ndarray]", need: int) -> np.ndarray:
+        """Pop exactly ``need`` rows off the front of a deque of arrays."""
+        parts = []
+        while need:
+            a = q[0]
+            if len(a) <= need:
+                parts.append(a)
+                need -= len(a)
+                q.popleft()
+            else:
+                parts.append(a[:need])
+                q[0] = a[need:]
+                need = 0
+        return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+
+    def consume_cases() -> None:
+        nonlocal avail_n
+        while case_meta and case_meta[0][1] <= avail_n:
+            cid, n, indices = case_meta.popleft()
+            packed = _take(avail, n)
+            avail_n -= n
+            keep = packed[:, 0] > 0.5
+            kp = packed[keep]
+            valid = kp[:, 1] > 0.5
+            res = CaseResult(
+                case_id=cid,
+                waves=kp[valid, 2:322].astype(np.float32),
+                features=kp[valid, 322:357].astype(np.float64),
+                indices=indices[keep][valid],
+                n_windows_raw=n,
+            )
+            if cache_dir is not None:
+                _save_case(cache_dir, cid, res)
+            by_cid[cid] = res
+
+    def pull(depth: int) -> None:
+        nonlocal avail_n
+        while len(inflight) > depth:
+            k, dev = inflight.popleft()
+            avail.append(np.asarray(dev)[:k])
+            avail_n += k
+            consume_cases()
+
+    def dispatch_ready() -> None:
+        nonlocal buf_n
+        while buf_n >= W:
+            chunk = _take(buf, W)
+            buf_n -= W
+            dev = kernel(chunk, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg)
+            inflight.append((W, dev))
+            pull(inflight_depth)
+
+    def dispatch_tail() -> None:
+        nonlocal buf_n
+        if buf_n:
+            chunk = _take(buf, buf_n)
+            k = len(chunk)
+            chunk = np.concatenate([chunk, np.zeros((W - k, chunk.shape[1]), np.float32)])
+            dev = kernel(chunk, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg)
+            inflight.append((k, dev))
+            buf_n = 0
+
+    it = case_ids
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            it = tqdm(case_ids)
+        except ImportError:
+            pass
+
+    PREP_CHUNK = 32
+    prep: List[tuple] = []  # (cid, raw record)
+
+    def drain_prep() -> None:
+        nonlocal prep, buf_n
+        if not prep:
+            return
+        recs = preprocess_records_batched([r for _, r in prep], cfg)
+        for (cid, _), rec in zip(prep, recs):
+            samples, indices = _windows_of_case(cid, rec, cfg, preprocessed=True)
+            if len(samples) == 0:
+                res = CaseResult(cid, np.zeros((0, 320), np.float32), np.zeros((0, 35)), np.zeros((0,)), 0)
+                if cache_dir is not None:
+                    _save_case(cache_dir, cid, res)
+                by_cid[cid] = res
+                continue
+            case_meta.append((cid, len(samples), indices))
+            buf.append(np.ascontiguousarray(samples, np.float32))
+            buf_n += len(samples)
+            dispatch_ready()
+        prep = []
+
+    for cid in it:
+        if cache_dir is not None and os.path.exists(os.path.join(cache_dir, f"{cid}.npz")):
+            by_cid[cid] = extract_case(cid, None, cfg, cache_dir)
+            continue
+        record = record_loader(cid)
+        if record is None:
+            continue
+        prep.append((cid, record))
+        if len(prep) >= PREP_CHUNK:
+            drain_prep()
+    drain_prep()
+    dispatch_tail()
+    pull(0)
+    return [by_cid[cid] for cid in case_ids if cid in by_cid]

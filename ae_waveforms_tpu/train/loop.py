@@ -196,7 +196,7 @@ def main_train(
     csvlog = CsvLogs(results_dir)
 
     if mesh is None:
-        mesh = data_mesh()
+        mesh = data_mesh(cfg.n_devices or None, cfg.model_parallel)
     if cfg.model_class not in MODEL_REGISTRY:
         raise ValueError(
             f"unknown model class {cfg.model_class!r}; available: {sorted(MODEL_REGISTRY)}"

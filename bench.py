@@ -1,10 +1,13 @@
 """Driver benchmark surface: one JSON line per metric.
 
-Headline (first line): flagship LSTM-autoencoder fused train-step
-throughput (forward + backward + Adam, batch 128 x 320 x 1 — the
-reference's training configuration, main_ae.py:58-66) vs a live torch-CPU
+Headline (first line): flagship LSTM-autoencoder training throughput on
+the SHIPPED path — the fused ``make_train_chunk`` program from
+``train/loop.py`` (batch gather + forward + backward + Adam for 100 steps
+inside one ``lax.scan`` dispatch; batch 128 x 320 x 1, the reference's
+training configuration, main_ae.py:58-66) vs a live torch-CPU
 implementation of the same architecture (the reference's own compute
-stack on this machine).
+stack on this machine).  Both sides report the median of repeated timed
+runs, so per-dispatch relay latency variance cannot swing the number.
 
 Additional lines (best-effort; each skipped on error):
   extraction_throughput       fused device window pipeline (R peaks -> QC ->
@@ -34,47 +37,70 @@ BATCH, SEQ, LATENT = 128, 320, 10
 
 # --------------------------- headline: AE training ---------------------------
 
-def bench_tpu(n_steps: int = 30) -> float:
+def bench_tpu(n_steps: int = 100, n_reps: int = 5) -> float:
+    """Times the SHIPPED training path: the fused ``make_train_chunk``
+    program (batch gather + forward + backward + Adam update, ``lax.scan``
+    over ``n_steps`` steps, ONE device dispatch) — exactly the program shape
+    ``train/loop.py`` runs per validation interval.  Per-step relay dispatch
+    latency is amortised ``n_steps``-fold, so the number measures the
+    program, not the tunnel's mood.  Median of ``n_reps`` timed dispatches;
+    the same median-of-N policy applies to the torch baseline."""
     import jax
     import jax.numpy as jnp
+    import statistics
+    import sys
 
-    from ae_waveforms_tpu.models import lstm_ae
+    from ae_waveforms_tpu.models.registry import MODEL_REGISTRY
+    from ae_waveforms_tpu.parallel.mesh import data_mesh
+    from ae_waveforms_tpu.train.loop import make_train_chunk
     from ae_waveforms_tpu.train.optimizers import make_optimizer
 
-    params = lstm_ae.init(jax.random.PRNGKey(0), LATENT)
+    mdef = MODEL_REGISTRY["LSTMAutoencoder"]
+    mesh = data_mesh()
+    params = mdef.init(jax.random.PRNGKey(0), LATENT)
     optimizer = make_optimizer("adam", 1e-3)
     opt_state = optimizer.init(params)
-    x = jnp.asarray(np.random.default_rng(0).standard_normal((BATCH, SEQ, 1)), jnp.float32)
 
-    @jax.jit
-    def step(params, opt_state, x, key):
-        def loss_fn(p):
-            pred = lstm_ae.forward(p, x, train=True, rng=key)
-            return jnp.mean((pred - x) ** 2)
+    n_data = 100 * BATCH
+    rng_np = np.random.default_rng(0)
+    data_x = jnp.asarray(rng_np.standard_normal((n_data, SEQ, 1)), jnp.float32)
+    idx = jnp.asarray(
+        rng_np.integers(0, n_data, size=(n_steps, BATCH)).astype(np.int32)
+    )
+    mask = jnp.ones((n_steps, BATCH), bool)
+    schedule = lambda step: jnp.asarray(1e-3, jnp.float32)  # noqa: E731
+    run_chunk = make_train_chunk(mdef, optimizer, "mse", schedule, mesh)
+    rng = jax.random.PRNGKey(1)
+    one = jnp.asarray(1.0, jnp.float32)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-        return params, opt_state, loss
+    def dispatch():
+        nonlocal params, opt_state, rng
+        params, opt_state, rng, losses, _ = run_chunk(
+            params, opt_state, rng, data_x, idx, mask,
+            jnp.asarray(0, jnp.int32), one, n_steps,
+        )
+        return float(np.asarray(losses[-1]))  # transfer == sync through the relay
 
-    key = jax.random.PRNGKey(1)
-    params, opt_state, loss = step(params, opt_state, x, key)  # compile
-    np.asarray(loss)  # a transfer is the only reliable sync through the relay
-    best = 0.0
-    # best-of-3: the tunnelled relay's per-run throughput varies by >2x
-    # between identical warm runs; the max is the least-noisy estimate of
-    # what the program sustains
-    for _ in range(3):
+    dispatch()  # compile + relay warmup
+    times = []
+    for _ in range(n_reps):
         t0 = time.perf_counter()
-        for _ in range(n_steps):
-            params, opt_state, loss = step(params, opt_state, x, key)
-        np.asarray(loss)
-        dt = time.perf_counter() - t0
-        best = max(best, n_steps * BATCH / dt)
-    return best
+        dispatch()
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
+    print(
+        f"# train chunk: {1e3 * med / n_steps:.3f} ms/step (median of {n_reps}; "
+        f"spread {min(times):.3f}-{max(times):.3f} s per {n_steps}-step dispatch)",
+        file=sys.stderr,
+    )
+    return n_steps * BATCH / med
 
 
-def bench_torch_cpu(n_steps: int = 3) -> float:
+def bench_torch_cpu(n_steps: int = 3, n_reps: int = 3) -> float:
+    """Median-of-``n_reps`` timed runs — the same policy as the device side,
+    so neither side benefits from one lucky draw."""
+    import statistics
+
     import torch
     import torch.nn as nn
 
@@ -114,14 +140,16 @@ def bench_torch_cpu(n_steps: int = 3) -> float:
     opt.zero_grad()
     crit(model(x), x).backward()
     opt.step()
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        opt.zero_grad()
-        loss = crit(model(x), x)
-        loss.backward()
-        opt.step()
-    dt = time.perf_counter() - t0
-    return n_steps * BATCH / dt
+    times = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            opt.zero_grad()
+            loss = crit(model(x), x)
+            loss.backward()
+            opt.step()
+        times.append(time.perf_counter() - t0)
+    return n_steps * BATCH / statistics.median(times)
 
 
 # ------------------------------- extraction ---------------------------------

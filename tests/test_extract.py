@@ -121,3 +121,29 @@ def test_batched_device_engine_chunking_matches_per_case():
         np.testing.assert_allclose(a.features[mask], b.features[mask], atol=1e-4)
         np.testing.assert_array_equal(a.indices, b.indices)
         assert a.n_windows_raw == b.n_windows_raw
+
+
+def test_batched_device_streaming_multi_chunk_case():
+    """A single case spanning several full chunks (carry buffer + persistent
+    in-flight queue) must match the per-case path, and results must come
+    back in case_ids order."""
+    cfg = ExtractionConfig(precision="float32", delineation_engine="device")
+
+    def loader(cid):
+        # case 7 is long (10 windows); the others short
+        dur = 220.0 if cid == 7 else 45.0
+        return synthetic_ecg_record(duration_s=dur, seed=400 + cid)
+
+    ids = [5, 7, 9, 11]
+    per_case = extract_cases(ids, loader, cfg)
+    batched = extract_cases(ids, loader, cfg, batched=True, windows_per_batch=3)
+    assert [r.case_id for r in batched] == ids
+    long_raw = next(r for r in batched if r.case_id == 7).n_windows_raw
+    assert long_raw > 3 * 2  # the long case alone spans >2 chunks
+    for a, b in zip(per_case, batched):
+        assert a.case_id == b.case_id
+        np.testing.assert_allclose(a.waves, b.waves, atol=2e-5)
+        mask = ~(np.isnan(a.features) & np.isnan(b.features))
+        np.testing.assert_allclose(a.features[mask], b.features[mask], atol=1e-4)
+        np.testing.assert_array_equal(a.indices, b.indices)
+        assert a.n_windows_raw == b.n_windows_raw
