@@ -36,6 +36,19 @@ from sklearn.metrics import precision_score, roc_auc_score
 from ae_waveforms_tpu.classify.gbt import GBTClassifier
 from ae_waveforms_tpu.classify.lhs import lhs_param_dicts
 
+
+def _classifier_cls(backend: str):
+    """GBDT implementation selector: 'jax' = the device GBT (production),
+    'sklearn' = HistGradientBoostingClassifier (independent C++ A/B oracle,
+    classify/sklearn_gbt.py)."""
+    if backend == "jax":
+        return GBTClassifier
+    if backend == "sklearn":
+        from ae_waveforms_tpu.classify.sklearn_gbt import SklearnGBTClassifier
+
+        return SklearnGBTClassifier
+    raise ValueError(f"unknown GBDT backend {backend!r}")
+
 __all__ = [
     "prepare_class_data",
     "grid_search_cv",
@@ -85,6 +98,7 @@ def grid_search_cv(
     verbose: bool = False,
     vectorized: bool = False,
     fits_per_call: int = 48,
+    backend: str = "jax",
 ) -> Dict:
     """LHS candidates scored by K-fold ROC-AUC; returns the best param dict.
 
@@ -104,8 +118,11 @@ def grid_search_cv(
     folds = np.array_split(order, cv)
 
     if vectorized:
+        if backend != "jax":
+            raise ValueError("vectorized grid search is the JAX GBT path; use backend='jax'")
         return _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_per_call)
 
+    cls = _classifier_cls(backend)
     best_score, best_params = -np.inf, None
     cap = max(p["n_estimators"] for p in params)
     for i, p in enumerate(params):
@@ -114,7 +131,7 @@ def grid_search_cv(
             te = folds[f]
             tr = np.concatenate([folds[g] for g in range(cv) if g != f])
             # fixed tree budget -> one compilation per depth for the sweep
-            m = GBTClassifier(**p, random_state=random_state, n_estimators_cap=cap)
+            m = cls(**p, random_state=random_state, n_estimators_cap=cap)
             m.fit(X[tr], y[tr])
             scores.append(roc_auc_score(y[te], m.predict_proba(X[te])[:, 1]))
         s = float(np.mean(scores))
@@ -303,7 +320,8 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
     return {"best_params": params[best], "best_score": float(mean_scores[best])}
 
 
-def _fit_eval(data: ClassData, size: int, seed: int, best_params: Dict, drop_col: Optional[int]):
+def _fit_eval(data: ClassData, size: int, seed: int, best_params: Dict, drop_col: Optional[int],
+              backend: str = "jax"):
     rng = np.random.default_rng(seed + 42)
     idx_c = rng.choice(len(data.control_train), size, replace=False)
     idx_s = rng.choice(len(data.sick_train), size, replace=False)
@@ -313,7 +331,7 @@ def _fit_eval(data: ClassData, size: int, seed: int, best_params: Dict, drop_col
     if drop_col is not None:
         X_train = np.delete(X_train, drop_col, axis=1)
         X_test = np.delete(X_test, drop_col, axis=1)
-    m = GBTClassifier(**best_params, random_state=seed + 42)
+    m = _classifier_cls(backend)(**best_params, random_state=seed + 42)
     m.fit(X_train, y_train)
     return m.predict_proba(X_test)[:, 1]
 
@@ -400,6 +418,7 @@ def size_seed_sweep(
     file_stem: str = "",
     vectorized: bool = False,
     mesh=None,
+    backend: str = "jax",
 ) -> Tuple[List[Dict], List[Dict]]:
     """AUC-vs-training-size evaluation; writes individual_aucs.csv and
     summary_auc_by_size.csv plus the AUC-vs-size plot when out_dir given.
@@ -417,7 +436,7 @@ def size_seed_sweep(
                 auc_records.append({"size": size, "seed": seed, "auc": auc})
         else:
             for seed in range(n_seeds):
-                proba = _fit_eval(data, size, seed, best_params, drop_col)
+                proba = _fit_eval(data, size, seed, best_params, drop_col, backend=backend)
                 auc = roc_auc_score(data.y_test, proba)
                 aucs.append(auc)
                 auc_records.append({"size": size, "seed": seed, "auc": auc})
@@ -455,6 +474,7 @@ def ppv_analysis(
     threshold: float = 0.5,
     vectorized: bool = False,
     mesh=None,
+    backend: str = "jax",
 ) -> Dict:
     """Median/IQR AUC and PPV at the given threshold for one training size —
     the north-star hypokalaemia PPV metric (analysis_PPV_hypokalaemia.py).
@@ -466,7 +486,10 @@ def ppv_analysis(
         probas = _fit_eval_vectorized(data, size, n_seeds, best_params, None, mesh=mesh)
         seed_probas = [probas[s] for s in range(n_seeds)]
     else:
-        seed_probas = [_fit_eval(data, size, seed, best_params, None) for seed in range(n_seeds)]
+        seed_probas = [
+            _fit_eval(data, size, seed, best_params, None, backend=backend)
+            for seed in range(n_seeds)
+        ]
     for proba in seed_probas:
         aucs.append(roc_auc_score(data.y_test, proba))
         ppvs.append(precision_score(data.y_test, (proba >= threshold).astype(int)))

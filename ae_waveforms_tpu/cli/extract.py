@@ -37,6 +37,10 @@ def main(argv=None):
     p.add_argument("--engine", type=str, default="host", choices=["host", "python", "device"],
                    help="delineation engine: host f64 (native C++ first), python f64 "
                         "(pure-python reference-equivalent), or batched device f32")
+    p.add_argument("--resample", type=str, default="linear",
+                   choices=["linear", "fft", "poly"],
+                   help="delineation analysis-rate resampler (python engine "
+                        "only for non-linear; signals/delineate.py RESAMPLE_METHODS)")
     p.add_argument("--no-cache", action="store_true")
     p.add_argument("--batched", action="store_true",
                    help="pool windows across cases into large device batches")
@@ -46,7 +50,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = ExtractionConfig(path_data=args.out, precision=args.precision,
-                           delineation_engine=args.engine)
+                           delineation_engine=args.engine,
+                           delineation_resample=args.resample)
     os.makedirs(args.out, exist_ok=True)
 
     if args.from_parquet:

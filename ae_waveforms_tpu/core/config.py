@@ -69,6 +69,11 @@ class ExtractionConfig:
     # morphologies where f32 threshold flips can move an index
     # (tests/test_delineate_adversarial.py)
     delineation_engine: str = "host"
+    # analysis-rate (500 -> 2000 Hz) resampler used by delineation
+    # (signals/delineate.py RESAMPLE_METHODS).  "linear" is the framework
+    # contract implemented by all three engines; "fft"/"poly" are python-
+    # engine-only sensitivity probes for the unpinned upstream method
+    delineation_resample: str = "linear"
     max_peaks_per_sample: int = 96  # fixed-shape padded peak buffer (20s @ 180bpm -> 60)
     max_qrs_segments: int = 256  # fixed-shape QRS-candidate buffer
 

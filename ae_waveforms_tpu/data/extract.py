@@ -122,6 +122,15 @@ def preprocess_record(record: np.ndarray, cfg: ExtractionConfig) -> np.ndarray:
     return rec
 
 
+def _check_resample(cfg: ExtractionConfig) -> None:
+    if cfg.delineation_resample != "linear" and cfg.delineation_engine != "python":
+        raise ValueError(
+            f"delineation_resample={cfg.delineation_resample!r} is a python-engine "
+            "sensitivity probe; the native/device engines implement the 'linear' "
+            "contract only (signals/delineate.py RESAMPLE_METHODS)"
+        )
+
+
 def _feature_rows(
     samples: np.ndarray,
     peak_lists: List[List[int]],
@@ -142,6 +151,8 @@ def _feature_rows(
     n = len(samples)
     rows = np.full((n, 35), np.nan)
     valid = np.ones(n, bool)
+
+    _check_resample(cfg)
 
     native_fids = None
     if peaks_padded is not None and n > 0:
@@ -166,7 +177,10 @@ def _feature_rows(
             }
         else:
             try:
-                fid = delineate(samples[i], r_peaks, cfg.sampling_frequency)
+                fid = delineate(
+                    samples[i], r_peaks, cfg.sampling_frequency,
+                    resample_method=cfg.delineation_resample,
+                )
             except Exception:
                 continue  # parity: bare-except -> NaN row, sample kept
         if not all(len(fid[k]) == len(r_peaks) for k in fid):
@@ -185,6 +199,7 @@ def extract_case(
     cache_dir: Optional[str] = None,
 ) -> CaseResult:
     """Run the full pipeline for one record; optionally cached per case."""
+    _check_resample(cfg)
     if cache_dir is not None:
         path = os.path.join(cache_dir, f"{case_id}.npz")
         if os.path.exists(path):
@@ -525,6 +540,7 @@ def _extract_cases_batched_device(
     """
     from collections import deque
 
+    _check_resample(cfg)
     kernel = _window_batch_kernel_jit()
     W = windows_per_batch
     by_cid = {}

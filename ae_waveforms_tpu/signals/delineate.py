@@ -39,7 +39,13 @@ from typing import Dict, List, Sequence
 import numpy as np
 import scipy.signal
 
-__all__ = ["delineate", "dwt_multiscales", "FIDUCIAL_KEYS"]
+__all__ = [
+    "delineate",
+    "dwt_multiscales",
+    "resample_to_analysis_rate",
+    "FIDUCIAL_KEYS",
+    "RESAMPLE_METHODS",
+]
 
 FIDUCIAL_KEYS = (
     "ECG_P_Peaks",
@@ -56,12 +62,37 @@ FIDUCIAL_KEYS = (
 
 _ANALYSIS_RATE = 2000
 
+#: Known analysis-rate resampling assumption (round-2 VERDICT #4): the
+#: upstream library resamples 500 -> 2000 Hz through its own
+#: ``signal_resample`` helper whose interpolation method is a library
+#: choice we cannot pin here (the dependency is unpinned in the reference
+#: and no wheel exists in this environment).  "linear" is this framework's
+#: default and the contract the C++ (native/delineate.cpp) and device
+#: (delineate_jax.py) engines implement; "fft" (scipy.signal.resample) and
+#: "poly" (scipy.signal.resample_poly) are selectable on the python engine
+#: to quantify the sensitivity once an oracle is available
+#: (tests/test_nk_oracle.py activates itself when neurokit2 is importable).
+RESAMPLE_METHODS = ("linear", "fft", "poly")
 
-def _resample_linear(signal: np.ndarray, fs: float, fs_out: float) -> np.ndarray:
+
+def resample_to_analysis_rate(
+    signal: np.ndarray, fs: float, fs_out: float, method: str = "linear"
+) -> np.ndarray:
+    """Resample a window to the delineation analysis rate (see
+    RESAMPLE_METHODS for the method contract)."""
     n_out = int(np.round(len(signal) * fs_out / fs))
-    x_out = np.linspace(0.0, 1.0, n_out, endpoint=False)
-    x_in = np.linspace(0.0, 1.0, len(signal), endpoint=False)
-    return np.interp(x_out, x_in, signal)
+    if method == "linear":
+        x_out = np.linspace(0.0, 1.0, n_out, endpoint=False)
+        x_in = np.linspace(0.0, 1.0, len(signal), endpoint=False)
+        return np.interp(x_out, x_in, signal)
+    if method == "fft":
+        return scipy.signal.resample(np.asarray(signal, float), n_out)
+    if method == "poly":
+        up = int(round(fs_out))
+        down = int(round(fs))
+        g = np.gcd(up, down)
+        return scipy.signal.resample_poly(np.asarray(signal, float), up // g, down // g)
+    raise ValueError(f"unknown resample method {method!r}; choose from {RESAMPLE_METHODS}")
 
 
 def dwt_multiscales(ecg: np.ndarray, max_degree: int = 9) -> np.ndarray:
@@ -264,14 +295,17 @@ def delineate(
     ecg: np.ndarray,
     rpeaks: Sequence[int],
     sampling_rate: int = 500,
+    resample_method: str = "linear",
 ) -> Dict[str, List[float]]:
-    """Delineate one window.  Returns the ten fiducial lists (see module docs)."""
+    """Delineate one window.  Returns the ten fiducial lists (see module docs).
+
+    ``resample_method``: analysis-rate resampler, see RESAMPLE_METHODS."""
     rpeaks = list(rpeaks)
     if len(rpeaks) == 0:
         return {k: [] for k in FIDUCIAL_KEYS}
     fs = _ANALYSIS_RATE
     up = fs / sampling_rate
-    ecg_hi = _resample_linear(np.asarray(ecg, float), sampling_rate, fs)
+    ecg_hi = resample_to_analysis_rate(np.asarray(ecg, float), sampling_rate, fs, resample_method)
     dwtmatr = dwt_multiscales(ecg_hi, 9)
     rp_hi = [int(r * up) for r in rpeaks]
 

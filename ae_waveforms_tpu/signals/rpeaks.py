@@ -135,11 +135,19 @@ def _nearest_higher(maxt, pos, v, lo_bound, hi_bound, levels, left: bool):
         return jnp.minimum(stop, hi_bound + 1)
 
 
-@functools.partial(jax.jit, static_argnames=("sampling_rate", "max_peaks"))
+#: light-path candidate buffer (see ``find_rpeaks_batch``): band-limited ECG
+#: has at most ~600 strict local maxima per 20-s window (30 Hz LP bound), so
+#: 1024 slots cover every real workload; inputs with more local maxima (e.g.
+#: the public cfg.butter_lp_ecg=0 knob) take the provable-bound path instead.
+LIGHT_CANDIDATES = 1024
+
+
+@functools.partial(jax.jit, static_argnames=("sampling_rate", "max_peaks", "candidate_slots"))
 def find_rpeaks(
     signal: jnp.ndarray,
     sampling_rate: int = 500,
     max_peaks: Optional[int] = None,
+    candidate_slots: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Detect R peaks in one window.
 
@@ -148,6 +156,12 @@ def find_rpeaks(
     min-delay refractory admits at most T/mindelay peaks (and the acceptance
     scan sees at most MAX_SEGMENTS segments), so no acceptable peak can ever
     be silently truncated whatever ``sample_length`` is configured.
+
+    ``candidate_slots`` narrows the prominence-walk buffer; callers MUST
+    guarantee the window has at most that many strict interior local maxima
+    (``find_rpeaks_batch`` checks at runtime and falls back to the provable
+    bound).  The walk cost is linear in the slot count, so the narrow buffer
+    is the difference between walking 1024 vs 5000 slots per window.
     """
     x = signal.astype(jnp.float32)
     T = x.shape[0]
@@ -164,6 +178,8 @@ def find_rpeaks(
     # in-segment candidate count for ANY input — no silent drop cliff even
     # for unfiltered broadband signals (cfg.butter_lp_ecg=0 is a public knob)
     max_candidates = (T - 1) // 2 + 1
+    if candidate_slots is not None:
+        max_candidates = min(max_candidates, candidate_slots)
 
     absgrad = jnp.abs(_gradient(x))
     smoothgrad = _boxcar_smooth(absgrad, smooth_kernel)
@@ -286,5 +302,31 @@ def find_rpeaks(
 
 @functools.partial(jax.jit, static_argnames=("sampling_rate", "max_peaks"))
 def find_rpeaks_batch(signals: jnp.ndarray, sampling_rate: int = 500, max_peaks: Optional[int] = None):
-    """vmap of :func:`find_rpeaks` over a (B, T) batch."""
-    return jax.vmap(lambda s: find_rpeaks(s, sampling_rate, max_peaks))(signals)
+    """vmap of :func:`find_rpeaks` over a (B, T) batch.
+
+    Two-tier dispatch: a cheap pre-pass counts strict interior local maxima
+    per window (an upper bound on prominence candidates, which are the
+    in-QRS-segment subset).  If every window fits LIGHT_CANDIDATES slots the
+    light program runs (walks over 1024 slots); otherwise the provable-bound
+    program does.  ``lax.cond`` sits OUTSIDE the vmap, so only the selected
+    branch executes — under vmap it would decay to a both-branches select.
+    Results are identical either way; only the walk buffer width differs.
+    """
+    x = signals.astype(jnp.float32)
+    T = x.shape[1]
+    provable = (T - 1) // 2 + 1
+    if provable <= LIGHT_CANDIDATES:
+        return jax.vmap(lambda s: find_rpeaks(s, sampling_rate, max_peaks))(x)
+
+    interior = (x[:, 1:-1] > x[:, :-2]) & (x[:, 1:-1] > x[:, 2:])
+    worst = jnp.max(jnp.sum(interior, axis=1))
+
+    def light(s):
+        return jax.vmap(
+            lambda w: find_rpeaks(w, sampling_rate, max_peaks, candidate_slots=LIGHT_CANDIDATES)
+        )(s)
+
+    def heavy(s):
+        return jax.vmap(lambda w: find_rpeaks(w, sampling_rate, max_peaks))(s)
+
+    return jax.lax.cond(worst <= LIGHT_CANDIDATES, light, heavy, x)

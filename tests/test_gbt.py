@@ -113,3 +113,23 @@ def test_depth_limit_matches_native_depth():
     m_native = np.asarray(predict_margin(native, bins, 3))
     m_masked = np.asarray(predict_margin(masked, bins, 6))
     np.testing.assert_allclose(m_masked, m_native, atol=1e-5)
+
+
+def test_sklearn_backend_through_harness():
+    """The A/B oracle backend (classify/sklearn_gbt.py) runs through the
+    same harness procedure and reaches comparable task quality."""
+    from ae_waveforms_tpu.classify.harness import (
+        grid_search_cv, ppv_analysis, prepare_class_data,
+    )
+
+    rng = np.random.default_rng(5)
+    control = rng.standard_normal((260, 6)).astype(np.float32)
+    sick = (rng.standard_normal((260, 6)) + 1.2).astype(np.float32)
+    data = prepare_class_data(control, sick, test_size=60)
+    X = np.concatenate([data.control_train, data.sick_train])
+    y = np.concatenate([np.zeros(len(data.control_train)), np.ones(len(data.sick_train))])
+
+    gs = grid_search_cv(X, y, n_candidates=3, cv=3, backend="sklearn")
+    assert gs["best_score"] > 0.8
+    res = ppv_analysis(data, gs["best_params"], size=100, n_seeds=3, backend="sklearn")
+    assert res["median_ppv"] > 0.6
