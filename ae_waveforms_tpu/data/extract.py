@@ -43,17 +43,38 @@ class CaseResult:
     n_windows_raw: int = 0  # before QC
 
 
+#: light-path beat width for the fused kernel: every downstream stage (QC,
+#: median, delineation, features) costs ~linearly in the (B, K) beat grid,
+#: and K's provable bound (68 slots for 20 s at the 0.3 s refractory) is
+#: ~2.9x the typical beat count.  48 slots cover every window up to HR 144;
+#: a chunk containing a faster window is detected from the kernel's returned
+#: per-window peak counts and RE-dispatched through the full-width program
+#: (a separate executable, loaded lazily — typical runs never pay for it).
+K_LIGHT = 48
+
+
 def _window_batch_kernel_jit():
     """Build (once) the fused per-window pipeline: R peaks -> QC -> median
     beat -> delineation -> features, all inside ONE jitted device program
-    returning ONE packed (B, 357) float32 array
-    ``[keep, valid, median(320), features(35)]``.
+    returning ONE packed (B, 358) float32 array
+    ``[keep, valid, median(320), features(35), n_peaks]``.
 
     Through a tunnelled accelerator each dispatch/pull costs a ~100 ms relay
     round trip; the unfused path (5 dispatches + host keep-compression
     between them) was relay-bound at ~12 windows/s.  Dropped windows flow
     through the whole pipeline with their keep flag low and are sliced out
     on the host — redundant device compute is far cheaper than a round trip.
+
+    Width selection lives OUTSIDE the program on purpose: putting both the
+    light and provable-bound variants behind in-program ``lax.cond``s made
+    the executable ~1.6x larger and the per-process relay load 82 s vs the
+    20-50 s baseline — more than the runtime win at reference scale.  The
+    static args ``candidate_slots`` (R-peak prominence buffer; the caller
+    must guarantee the chunk's strict-local-maxima count fits, see
+    ``_host_max_locmax``) and ``k_width`` (beat-slot width; overflow is
+    detected from the returned n_peaks column and re-dispatched) key one
+    single-path executable per profile, so the shipped light program stays
+    small and the heavy ones load only if a chunk actually needs them.
     """
     global _WINDOW_BATCH_KERNEL
     if _WINDOW_BATCH_KERNEL is None:
@@ -64,10 +85,18 @@ def _window_batch_kernel_jit():
 
         from ae_waveforms_tpu.signals.delineate_jax import delineate_batch
         from ae_waveforms_tpu.signals.features_jax import feature_rows_batch
+        from ae_waveforms_tpu.signals.rpeaks import find_rpeaks
 
-        @functools.partial(jax.jit, static_argnames=("fs",))
-        def kernel(samples, fs, pvc_threshold, sd_threshold):
-            peaks, n_peaks = find_rpeaks_batch(samples, fs)
+        @functools.partial(jax.jit, static_argnames=("fs", "candidate_slots", "k_width"))
+        def kernel(samples, fs, pvc_threshold, sd_threshold,
+                   candidate_slots=None, k_width=None):
+            peaks, n_peaks = jax.vmap(
+                lambda w: find_rpeaks(w, fs, candidate_slots=candidate_slots)
+            )(samples)
+            if k_width is not None and peaks.shape[1] > k_width:
+                # caller contract: results for a chunk with any n_peaks >
+                # k_width are truncated and must be re-dispatched full-width
+                peaks = peaks[:, :k_width]
             keep = qc_mask(samples, peaks, n_peaks, fs, pvc_threshold, sd_threshold)
             medians = median_beat_batch(samples, peaks, n_peaks)
             fid = delineate_batch(samples, peaks, n_peaks, fs)
@@ -79,6 +108,7 @@ def _window_batch_kernel_jit():
                     valid[:, None].astype(jnp.float32),
                     medians.astype(jnp.float32),
                     rows.astype(jnp.float32),
+                    n_peaks[:, None].astype(jnp.float32),
                 ],
                 axis=1,
             )
@@ -88,6 +118,15 @@ def _window_batch_kernel_jit():
 
 
 _WINDOW_BATCH_KERNEL = None
+
+
+def _host_max_locmax(chunk: np.ndarray) -> int:
+    """Largest per-row count of strict interior local maxima — a cheap,
+    exact upper bound on the R-peak detector's prominence candidates (the
+    in-QRS-segment subset), computed on host to pick the light
+    ``candidate_slots`` profile before dispatch."""
+    m = (chunk[:, 1:-1] > chunk[:, :-2]) & (chunk[:, 1:-1] > chunk[:, 2:])
+    return int(m.sum(axis=1).max()) if len(chunk) else 0
 
 
 def _pad_batch(arr: np.ndarray, bucket: int = 16):
@@ -540,9 +579,28 @@ def _extract_cases_batched_device(
     """
     from collections import deque
 
+    from ae_waveforms_tpu.signals.rpeaks import LIGHT_CANDIDATES
+
     _check_resample(cfg)
     kernel = _window_batch_kernel_jit()
     W = windows_per_batch
+
+    def run_chunk(chunk):
+        """Dispatch one chunk through the light-profile program; returns the
+        in-flight device value plus what a re-dispatch needs."""
+        slots = LIGHT_CANDIDATES if _host_max_locmax(chunk) <= LIGHT_CANDIDATES else None
+        dev = kernel(chunk, cfg.sampling_frequency, cfg.pvc_threshold,
+                     cfg.sd_threshold_ecg, candidate_slots=slots, k_width=K_LIGHT)
+        return dev, chunk, slots
+
+    def resolve_chunk(dev, chunk, slots, k):
+        """Pull a chunk result; re-dispatch full-width if any window's beat
+        count overflowed K_LIGHT (rare: a window with HR > 144)."""
+        arr = np.asarray(dev)
+        if arr[:k, 357].max(initial=0.0) > K_LIGHT:
+            arr = np.asarray(kernel(chunk, cfg.sampling_frequency, cfg.pvc_threshold,
+                                    cfg.sd_threshold_ecg, candidate_slots=slots))
+        return arr[:k, :357]
     by_cid = {}
     case_meta: "deque[tuple]" = deque()  # (cid, n_windows, indices) in window order
     buf: "deque[np.ndarray]" = deque()  # f32 window arrays awaiting dispatch
@@ -589,8 +647,8 @@ def _extract_cases_batched_device(
     def pull(depth: int) -> None:
         nonlocal avail_n
         while len(inflight) > depth:
-            k, dev = inflight.popleft()
-            avail.append(np.asarray(dev)[:k])
+            k, dev, chunk, slots = inflight.popleft()
+            avail.append(resolve_chunk(dev, chunk, slots, k))
             avail_n += k
             consume_cases()
 
@@ -599,8 +657,8 @@ def _extract_cases_batched_device(
         while buf_n >= W:
             chunk = _take(buf, W)
             buf_n -= W
-            dev = kernel(chunk, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg)
-            inflight.append((W, dev))
+            dev, chunk, slots = run_chunk(chunk)
+            inflight.append((W, dev, chunk, slots))
             pull(inflight_depth)
 
     def dispatch_tail() -> None:
@@ -609,8 +667,8 @@ def _extract_cases_batched_device(
             chunk = _take(buf, buf_n)
             k = len(chunk)
             chunk = np.concatenate([chunk, np.zeros((W - k, chunk.shape[1]), np.float32)])
-            dev = kernel(chunk, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg)
-            inflight.append((k, dev))
+            dev, chunk, slots = run_chunk(chunk)
+            inflight.append((k, dev, chunk, slots))
             buf_n = 0
 
     it = case_ids

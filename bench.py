@@ -174,14 +174,30 @@ def _synthetic_windows(n_windows: int, seed: int = 0):
 
 
 def bench_extraction_device(n_windows: int = 512) -> float:
-    from ae_waveforms_tpu.data.extract import _pad_batch, _window_batch_kernel_jit
+    """Times the SHIPPED chunk path (light profile + host predicate + the
+    overflow re-dispatch contract), exactly as `extract_cases_batched`
+    dispatches it."""
+    from ae_waveforms_tpu.data.extract import (
+        K_LIGHT, _host_max_locmax, _pad_batch, _window_batch_kernel_jit,
+    )
+    from ae_waveforms_tpu.signals.rpeaks import LIGHT_CANDIDATES
 
     samples, cfg = _synthetic_windows(n_windows)
     samples_f32, _ = _pad_batch(samples.astype(np.float32))
     kernel = _window_batch_kernel_jit()
-    np.asarray(kernel(samples_f32, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg))
+    slots = LIGHT_CANDIDATES if _host_max_locmax(samples_f32) <= LIGHT_CANDIDATES else None
+
+    def run():
+        arr = np.asarray(kernel(
+            samples_f32, cfg.sampling_frequency, cfg.pvc_threshold,
+            cfg.sd_threshold_ecg, candidate_slots=slots, k_width=K_LIGHT,
+        ))
+        assert arr[:, 357].max() <= K_LIGHT, "bench fixture overflowed the light profile"
+        return arr
+
+    run()
     t0 = time.perf_counter()
-    np.asarray(kernel(samples_f32, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg))
+    run()
     dt = time.perf_counter() - t0
     return n_windows / dt
 

@@ -30,13 +30,18 @@ for cid, rec in enumerate(pre):
 t4 = time.perf_counter()
 nwin = sum(len(s) for s in all_s)
 print(f"segment+window-zscore (host): {t4-t3:.1f}s -> {nwin} windows", flush=True)
+from ae_waveforms_tpu.data.extract import K_LIGHT, _host_max_locmax
+from ae_waveforms_tpu.signals.rpeaks import LIGHT_CANDIDATES
+
 samples = np.concatenate(all_s)
 samples_f32, n_real = _pad_batch(samples.astype(np.float32))
 kernel = _window_batch_kernel_jit()
-out = np.asarray(kernel(samples_f32, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg))
+slots = LIGHT_CANDIDATES if _host_max_locmax(samples_f32) <= LIGHT_CANDIDATES else None
+kw = dict(candidate_slots=slots, k_width=K_LIGHT)
+out = np.asarray(kernel(samples_f32, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg, **kw))
 t5 = time.perf_counter()
 print(f"window kernel call 1 {samples_f32.shape}: {t5-t4:.1f}s", flush=True)
-out = np.asarray(kernel(samples_f32, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg))
+out = np.asarray(kernel(samples_f32, cfg.sampling_frequency, cfg.pvc_threshold, cfg.sd_threshold_ecg, **kw))
 t6 = time.perf_counter()
 print(f"window kernel call 2 (warm): {t6-t5:.1f}s -> {samples_f32.shape[0]/(t6-t5):.1f} windows/s", flush=True)
 print(f"steady-state total ~ {(t3-t2)+(t4-t3)+(t6-t5):.1f}s for {N} cases / {nwin} windows", flush=True)

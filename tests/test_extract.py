@@ -147,3 +147,24 @@ def test_batched_device_streaming_multi_chunk_case():
         np.testing.assert_allclose(a.features[mask], b.features[mask], atol=1e-4)
         np.testing.assert_array_equal(a.indices, b.indices)
         assert a.n_windows_raw == b.n_windows_raw
+
+
+def test_batched_device_high_hr_overflow_redispatch():
+    """A window faster than the light beat-width profile (HR > 144 -> >48
+    peaks per 20 s) must trigger the full-width re-dispatch and still match
+    the per-case path (the light program's truncated result is discarded)."""
+    cfg = ExtractionConfig(precision="float32", delineation_engine="device")
+
+    def loader(cid):
+        hr = 170.0 if cid == 2 else 70.0  # ~56 peaks/window at 170 bpm
+        return synthetic_ecg_record(duration_s=45.0, seed=500 + cid, hr_bpm=hr)
+
+    ids = [1, 2, 3]
+    per_case = extract_cases(ids, loader, cfg)
+    batched = extract_cases(ids, loader, cfg, batched=True, windows_per_batch=4)
+    assert [r.case_id for r in batched] == ids
+    for a, b in zip(per_case, batched):
+        np.testing.assert_allclose(a.waves, b.waves, atol=2e-5)
+        mask = ~(np.isnan(a.features) & np.isnan(b.features))
+        np.testing.assert_allclose(a.features[mask], b.features[mask], atol=1e-4)
+        assert a.n_windows_raw == b.n_windows_raw
