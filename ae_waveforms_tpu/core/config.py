@@ -74,6 +74,18 @@ class ExtractionConfig:
     # contract implemented by all three engines; "fft"/"poly" are python-
     # engine-only sensitivity probes for the unpinned upstream method
     delineation_resample: str = "linear"
+    # Record-filter backend for the BATCHED paths ("host" | "device").
+    # "host" runs the reference's exact scipy filtfilt chain (float64 math,
+    # cast to the working precision) — measured 9.5 ms/record on this host
+    # vs ~37 ms/record for the pooled device filter through the tunnelled
+    # relay (and ~137 ms/record when its dispatches alternate with the
+    # window-kernel program, the at-scale pattern; BENCHMARKS.md Round 3).
+    # The filter is ~2 MFLOP of sequential IIR per record — launch-overhead
+    # bound, not compute bound — so host wins everywhere we can measure and
+    # is also the parity oracle.  "device" keeps the pooled modal-scan
+    # kernel (signals/filters.py:butterworth_batched) for co-located
+    # hosts that want zero host compute in the loop.
+    filter_backend: str = "host"
     max_peaks_per_sample: int = 96  # fixed-shape padded peak buffer (20s @ 180bpm -> 60)
     max_qrs_segments: int = 256  # fixed-shape QRS-candidate buffer
 

@@ -33,6 +33,35 @@ from ae_waveforms_tpu.signals.segment import segment_record
 
 __all__ = ["CaseResult", "extract_case", "extract_cases", "preprocess_record", "preprocess_records_batched"]
 
+#: Stage-time accumulators for the streaming device path, populated only
+#: when AE_EXTRACT_PROFILE=1 (zero overhead otherwise).  Keys: filter,
+#: segment, dispatch, pull.  Read/reset by benchmarks.
+STAGE_T: dict = {}
+
+_PROFILE = os.environ.get("AE_EXTRACT_PROFILE") == "1"
+
+
+class _stage:
+    """Context timer accumulating into STAGE_T[name] when profiling."""
+
+    __slots__ = ("name", "t0")
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        if _PROFILE:
+            import time
+
+            self.t0 = time.perf_counter()
+
+    def __exit__(self, *exc):
+        if _PROFILE:
+            import time
+
+            STAGE_T[self.name] = STAGE_T.get(self.name, 0.0) + time.perf_counter() - self.t0
+        return False
+
 
 @dataclass
 class CaseResult:
@@ -152,13 +181,27 @@ def _trim_zscore(record: np.ndarray, dtype) -> np.ndarray:
 
 
 def preprocess_record(record: np.ndarray, cfg: ExtractionConfig) -> np.ndarray:
-    """Trim NaN edges, z-score, zero-phase HP+LP (data_extract_vitaldb.py:53-78)."""
-    rec = _trim_zscore(record, np.float64 if cfg.precision == "float64" else np.float32)
+    """Trim NaN edges, z-score, zero-phase HP+LP (data_extract_vitaldb.py:53-78).
+
+    With the default ``filter_backend="host"`` the float32 path runs the
+    same exact scipy filtfilt chain as float64 (in f64 math, cast back to
+    f32), so f32 extraction differs from the parity oracle only by the
+    final cast; ``filter_backend="device"`` selects the modal-scan device
+    kernel (<=1e-6 vs scipy; rationale + measurements: core/config.py)."""
+    if cfg.precision == "float64":
+        rec = _trim_zscore(record, np.float64)
+        if cfg.butter_hp_ecg:
+            rec = butterworth(rec, "high", cfg.butter_hp_ecg, cfg.sampling_frequency, cfg.butter_order, "float64")
+        if cfg.butter_lp_ecg:
+            rec = butterworth(rec, "low", cfg.butter_lp_ecg, cfg.sampling_frequency, cfg.butter_order, "float64")
+        return rec
+    rec = _trim_zscore(record, np.float32)
+    fp = "float64" if cfg.filter_backend == "host" else "float32"
     if cfg.butter_hp_ecg:
-        rec = butterworth(rec, "high", cfg.butter_hp_ecg, cfg.sampling_frequency, cfg.butter_order, cfg.precision)
+        rec = butterworth(rec, "high", cfg.butter_hp_ecg, cfg.sampling_frequency, cfg.butter_order, fp)
     if cfg.butter_lp_ecg:
-        rec = butterworth(rec, "low", cfg.butter_lp_ecg, cfg.sampling_frequency, cfg.butter_order, cfg.precision)
-    return rec
+        rec = butterworth(rec, "low", cfg.butter_lp_ecg, cfg.sampling_frequency, cfg.butter_order, fp)
+    return np.asarray(rec, np.float32)
 
 
 def _check_resample(cfg: ExtractionConfig) -> None:
@@ -409,17 +452,30 @@ def _windows_of_case(cid: int, record: np.ndarray, cfg: ExtractionConfig, prepro
 
 
 def preprocess_records_batched(records: List[np.ndarray], cfg: ExtractionConfig) -> List[np.ndarray]:
-    """``preprocess_record`` over many records with pooled device filtering.
+    """``preprocess_record`` over many records, filter backend per
+    ``cfg.filter_backend`` (rationale + measurements: core/config.py).
 
-    Trim + z-score stay on host (cheap numpy reductions); the two zero-phase
-    Butterworth passes run through ``butterworth_batched`` — segments pooled
-    across ALL records, one device dispatch per length bucket — instead of
-    two dispatches per record.  Through the tunnelled relay this is the
-    difference between ~2 s/record and ~ms/record of filter launch cost.
-    float64 precision keeps the exact per-record scipy path."""
+    Trim + z-score stay on host (cheap numpy reductions).  The two
+    zero-phase Butterworth passes then run either on host — the exact
+    scipy filtfilt chain in float64 math on the float32 data, cast back
+    (parity-oracle numerics, ~9.5 ms/record) — or through
+    ``butterworth_batched``: segments pooled across ALL records, one
+    device dispatch per length bucket.  float64 precision always takes
+    the exact per-record scipy path."""
     if cfg.precision == "float64":
         return [preprocess_record(r, cfg) for r in records]
     trimmed = [_trim_zscore(r, np.float32) for r in records]
+    if cfg.filter_backend == "host":
+        out = []
+        for rec in trimmed:
+            if cfg.butter_hp_ecg:
+                rec = butterworth(rec, "high", cfg.butter_hp_ecg, cfg.sampling_frequency,
+                                  cfg.butter_order, precision="float64")
+            if cfg.butter_lp_ecg:
+                rec = butterworth(rec, "low", cfg.butter_lp_ecg, cfg.sampling_frequency,
+                                  cfg.butter_order, precision="float64")
+            out.append(np.asarray(rec, np.float32))
+        return out
     return butterworth_batched(
         trimmed, cfg.butter_hp_ecg or None, cfg.butter_lp_ecg or None,
         cfg.sampling_frequency, cfg.butter_order,
@@ -588,15 +644,17 @@ def _extract_cases_batched_device(
     def run_chunk(chunk):
         """Dispatch one chunk through the light-profile program; returns the
         in-flight device value plus what a re-dispatch needs."""
-        slots = LIGHT_CANDIDATES if _host_max_locmax(chunk) <= LIGHT_CANDIDATES else None
-        dev = kernel(chunk, cfg.sampling_frequency, cfg.pvc_threshold,
-                     cfg.sd_threshold_ecg, candidate_slots=slots, k_width=K_LIGHT)
+        with _stage("dispatch"):
+            slots = LIGHT_CANDIDATES if _host_max_locmax(chunk) <= LIGHT_CANDIDATES else None
+            dev = kernel(chunk, cfg.sampling_frequency, cfg.pvc_threshold,
+                         cfg.sd_threshold_ecg, candidate_slots=slots, k_width=K_LIGHT)
         return dev, chunk, slots
 
     def resolve_chunk(dev, chunk, slots, k):
         """Pull a chunk result; re-dispatch full-width if any window's beat
         count overflowed K_LIGHT (rare: a window with HR > 144)."""
-        arr = np.asarray(dev)
+        with _stage("pull"):
+            arr = np.asarray(dev)
         if arr[:k, 357].max(initial=0.0) > K_LIGHT:
             arr = np.asarray(kernel(chunk, cfg.sampling_frequency, cfg.pvc_threshold,
                                     cfg.sd_threshold_ecg, candidate_slots=slots))
@@ -680,39 +738,79 @@ def _extract_cases_batched_device(
         except ImportError:
             pass
 
-    PREP_CHUNK = 32
-    prep: List[tuple] = []  # (cid, raw record)
+    # ------------------------------------------------------------------
+    # Producer thread: record load -> filter -> segment -> window z-score,
+    # all HOST work (with the default filter_backend="host" it never
+    # touches the device), feeding a bounded queue the main thread drains
+    # into the dispatch pipeline.  Single producer, single consumer — the
+    # one-file-per-case cache invariant holds because cache reads AND
+    # writes for a given cid happen on exactly one thread each, keyed by
+    # disjoint cids.  Measured effect (BENCHMARKS.md Round 3): host prep
+    # fully hides behind device window compute, so end-to-end tracks the
+    # fused-kernel rate instead of summing with it.
+    # ------------------------------------------------------------------
+    import queue as _queue
+    import threading
 
-    def drain_prep() -> None:
-        nonlocal prep, buf_n
-        if not prep:
-            return
-        recs = preprocess_records_batched([r for _, r in prep], cfg)
-        for (cid, _), rec in zip(prep, recs):
-            samples, indices = _windows_of_case(cid, rec, cfg, preprocessed=True)
-            if len(samples) == 0:
-                res = CaseResult(cid, np.zeros((0, 320), np.float32), np.zeros((0, 35)), np.zeros((0,)), 0)
-                if cache_dir is not None:
-                    _save_case(cache_dir, cid, res)
-                by_cid[cid] = res
+    PREP_CHUNK = 32
+    q: "_queue.Queue[tuple]" = _queue.Queue(maxsize=64)
+
+    def producer() -> None:
+        prep: List[tuple] = []  # (cid, raw record)
+
+        def drain_prep() -> None:
+            if not prep:
+                return
+            with _stage("filter"):
+                recs = preprocess_records_batched([r for _, r in prep], cfg)
+            for (cid, _), rec in zip(prep, recs):
+                with _stage("segment"):
+                    samples, indices = _windows_of_case(cid, rec, cfg, preprocessed=True)
+                if len(samples) == 0:
+                    res = CaseResult(cid, np.zeros((0, 320), np.float32), np.zeros((0, 35)), np.zeros((0,)), 0)
+                    if cache_dir is not None:
+                        _save_case(cache_dir, cid, res)
+                    q.put(("ready", cid, res))
+                    continue
+                q.put(("case", cid, np.ascontiguousarray(samples, np.float32), indices))
+            prep.clear()
+
+        try:
+            for cid in it:
+                if cache_dir is not None and os.path.exists(os.path.join(cache_dir, f"{cid}.npz")):
+                    q.put(("ready", cid, extract_case(cid, None, cfg, cache_dir)))
+                    continue
+                record = record_loader(cid)
+                if record is None:
+                    continue
+                prep.append((cid, record))
+                if len(prep) >= PREP_CHUNK:
+                    drain_prep()
+            drain_prep()
+        except BaseException as e:  # re-raised on the consumer side
+            q.put(("error", e))
+        else:
+            q.put(("end",))
+
+    t = threading.Thread(target=producer, name="extract-prep", daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item[0] == "end":
+                break
+            if item[0] == "error":
+                raise item[1]
+            if item[0] == "ready":
+                by_cid[item[1]] = item[2]
                 continue
+            _, cid, samples, indices = item
             case_meta.append((cid, len(samples), indices))
-            buf.append(np.ascontiguousarray(samples, np.float32))
+            buf.append(samples)
             buf_n += len(samples)
             dispatch_ready()
-        prep = []
-
-    for cid in it:
-        if cache_dir is not None and os.path.exists(os.path.join(cache_dir, f"{cid}.npz")):
-            by_cid[cid] = extract_case(cid, None, cfg, cache_dir)
-            continue
-        record = record_loader(cid)
-        if record is None:
-            continue
-        prep.append((cid, record))
-        if len(prep) >= PREP_CHUNK:
-            drain_prep()
-    drain_prep()
-    dispatch_tail()
-    pull(0)
+        dispatch_tail()
+        pull(0)
+    finally:
+        t.join(timeout=60.0)
     return [by_cid[cid] for cid in case_ids if cid in by_cid]
