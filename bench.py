@@ -10,9 +10,11 @@ stack on this machine).  Both sides report the median of repeated timed
 runs, so per-dispatch relay latency variance cannot swing the number.
 
 Additional lines (best-effort; each skipped on error):
-  extraction_throughput       fused device window pipeline (R peaks -> QC ->
-                              median beat -> delineation -> features, ONE
-                              dispatch) vs the host per-case python path
+  extraction_throughput       the shipped streaming extraction pipeline
+                              (prefetch-thread host prep + fused device
+                              window kernel: R peaks -> QC -> median beat ->
+                              delineation -> features, depth-2 dispatch
+                              pipelining) vs the host per-case python path
                               (ref hot loop: data_extract_vitaldb.py:127-164)
   gbt_grid_candidates_per_s   vectorized 3-fold CV GBT sweep rate vs sklearn
                               HistGradientBoostingClassifier (C++ core) on
@@ -154,52 +156,41 @@ def bench_torch_cpu(n_steps: int = 3, n_reps: int = 3) -> float:
 
 # ------------------------------- extraction ---------------------------------
 
-def _synthetic_windows(n_windows: int, seed: int = 0):
-    """z-scored 20-s windows from synthetic records, the fused kernel's
-    input contract (extract.py:_windows_of_case)."""
+def bench_extraction_device(n_records: int = 150, n_reps: int = 3) -> float:
+    """Times the SHIPPED streaming path — ``extract_cases_batched`` with the
+    device engine (prefetch-thread host prep -> full-chunk-only dispatch ->
+    depth-2 in-flight queue -> overflow re-dispatch contract), i.e. exactly
+    what `cli/extract` runs and what `bench_extract_at_scale.py` measured at
+    411 w/s.  Records are pre-synthesised outside the timed region (the
+    reference loads them from disk/network); median of ``n_reps`` full
+    streaming runs so one congested-relay window cannot set the number."""
+    import statistics
+    import sys
+
     from ae_waveforms_tpu.core.config import ExtractionConfig
-    from ae_waveforms_tpu.data.extract import _windows_of_case
+    from ae_waveforms_tpu.data.extract import extract_cases_batched
     from ae_waveforms_tpu.data.synthetic import synthetic_ecg_record
 
-    cfg = ExtractionConfig()
-    out = []
-    cid = 0
-    while sum(len(s) for s, _ in out) < n_windows:
-        rec = synthetic_ecg_record(duration_s=220.0, seed=seed + cid)
-        samples, _ = _windows_of_case(cid, rec, cfg)
-        out.append((samples, None))
-        cid += 1
-    samples = np.concatenate([s for s, _ in out], axis=0)[:n_windows]
-    return samples, cfg
+    cfg = ExtractionConfig(delineation_engine="device")
+    records = {cid: synthetic_ecg_record(duration_s=220.0, seed=cid) for cid in range(n_records)}
+    case_ids = list(records)
 
+    def run() -> int:
+        results = extract_cases_batched(case_ids, records.get, cfg, cache_dir=None)
+        return sum(r.n_windows_raw for r in results)
 
-def bench_extraction_device(n_windows: int = 512) -> float:
-    """Times the SHIPPED chunk path (light profile + host predicate + the
-    overflow re-dispatch contract), exactly as `extract_cases_batched`
-    dispatches it."""
-    from ae_waveforms_tpu.data.extract import (
-        K_LIGHT, _host_max_locmax, _pad_batch, _window_batch_kernel_jit,
+    n_windows = run()  # compile + relay warmup
+    rates = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        run()
+        rates.append(n_windows / (time.perf_counter() - t0))
+    print(
+        f"# extraction stream: {n_windows} windows/run, rates "
+        f"{', '.join(f'{r:.1f}' for r in rates)} w/s (median of {n_reps})",
+        file=sys.stderr,
     )
-    from ae_waveforms_tpu.signals.rpeaks import LIGHT_CANDIDATES
-
-    samples, cfg = _synthetic_windows(n_windows)
-    samples_f32, _ = _pad_batch(samples.astype(np.float32))
-    kernel = _window_batch_kernel_jit()
-    slots = LIGHT_CANDIDATES if _host_max_locmax(samples_f32) <= LIGHT_CANDIDATES else None
-
-    def run():
-        arr = np.asarray(kernel(
-            samples_f32, cfg.sampling_frequency, cfg.pvc_threshold,
-            cfg.sd_threshold_ecg, candidate_slots=slots, k_width=K_LIGHT,
-        ))
-        assert arr[:, 357].max() <= K_LIGHT, "bench fixture overflowed the light profile"
-        return arr
-
-    run()
-    t0 = time.perf_counter()
-    run()
-    dt = time.perf_counter() - t0
-    return n_windows / dt
+    return statistics.median(rates)
 
 
 def bench_extraction_host(n_windows: int = 24) -> float:
@@ -251,10 +242,12 @@ def bench_gbt_device(chunk: int = 24) -> float:
             jnp.full(chunk, 0.8, jnp.float32), jnp.full(chunk, GBT_TREES, jnp.int32))
     kw = dict(max_depth=GBT_DEPTH, n_estimators=GBT_TREES, n_bins=256)
     np.asarray(fit_gbt_sweep_margins(*args, **kw)[1])
-    t0 = time.perf_counter()
-    np.asarray(fit_gbt_sweep_margins(*args, **kw)[1])
-    dt = time.perf_counter() - t0
-    return (chunk / 3) / dt  # one candidate = 3 CV fold fits
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fit_gbt_sweep_margins(*args, **kw)[1])
+        rates.append((chunk / 3) / (time.perf_counter() - t0))  # candidate = 3 CV folds
+    return sorted(rates)[1]  # median of 3
 
 
 def bench_gbt_sklearn() -> float:
@@ -298,10 +291,12 @@ def bench_sigma_device(n_maps: int = 64) -> float:
     obj = make_objective(fx, fy, bs, xt, waves, chunk=n_maps)
     maps = np.random.default_rng(0).integers(1, 6, size=(n_maps, 12)).astype(np.float32)
     obj(maps)  # compile
-    t0 = time.perf_counter()
-    obj(maps)
-    dt = time.perf_counter() - t0
-    return n_maps / dt
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        obj(maps)
+        rates.append(n_maps / (time.perf_counter() - t0))
+    return sorted(rates)[1]  # median of 3
 
 
 def bench_sigma_host(n_maps: int = 2) -> float:
