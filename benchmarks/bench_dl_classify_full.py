@@ -68,7 +68,7 @@ def make_waves(n_per_class: int = 12000, seed: int = 0):
     return control, sick
 
 
-def run_device(n_per_class: int, out_dir: str | None) -> None:
+def run_device(n_per_class: int, out_dir: str | None, seed_chunk: int = 5) -> None:
     import jax
 
     from ae_waveforms_tpu.classify.dl import DL_SIZES, dl_size_seed_sweep
@@ -84,7 +84,8 @@ def run_device(n_per_class: int, out_dir: str | None) -> None:
     for size in DL_SIZES:
         t0 = time.perf_counter()
         rec = dl_size_seed_sweep(
-            control, sick, sizes=(size,), n_seeds=25, vectorized=True, out_dir=out_dir
+            control, sick, sizes=(size,), n_seeds=25, vectorized=True,
+            out_dir=out_dir, seed_chunk=seed_chunk,
         )[0]
         rec["wall_s"] = round(time.perf_counter() - t0, 1)
         per_size.append(rec)
@@ -156,8 +157,12 @@ if __name__ == "__main__":
     p.add_argument("--torch-probe", action="store_true")
     p.add_argument("--n_per_class", type=int, default=12000)
     p.add_argument("--out_dir", default=None)
+    # 25-seed vmapped backward stores ~53 GB of LSTM scan activations
+    # (25 x 512 batch x 320 steps x 3 layers) vs 15.75 GB HBM; 5-seed
+    # chunks fit with one compiled program shape per size.
+    p.add_argument("--seed_chunk", type=int, default=5)
     args = p.parse_args()
     if args.torch_probe:
         run_torch_probe(args.n_per_class)
     else:
-        run_device(args.n_per_class, args.out_dir)
+        run_device(args.n_per_class, args.out_dir, args.seed_chunk)
