@@ -78,6 +78,62 @@ def test_csv_logs_and_jsonl_tracker(tmp_path):
     assert isinstance(make_tracker("jsonl", d), JsonlTracker)
 
 
+def test_neptune_tracker_against_mock_client(tmp_path, monkeypatch):
+    """The NeptuneTracker adapter (reference channel: run_train.py:394-407,
+    :513-517) can never run for real here (no client, no credentials), so
+    exercise it against a faithful mock of the neptune API surface it uses:
+    ``init_run(project, api_token, tags)``, ``run[stream].append(value)``,
+    ``run.stop()``."""
+    import sys
+    import types
+
+    from ae_waveforms_tpu.train.logs import JsonlTracker, make_tracker
+
+    class _Stream:
+        def __init__(self):
+            self.values = []
+
+        def append(self, v):
+            self.values.append(v)
+
+    class _Run:
+        def __init__(self, **kwargs):
+            self.kwargs = kwargs
+            self.streams = {}
+            self.stopped = False
+
+        def __getitem__(self, name):
+            return self.streams.setdefault(name, _Stream())
+
+        def stop(self):
+            self.stopped = True
+
+    runs = []
+    fake = types.ModuleType("neptune")
+    fake.init_run = lambda **kw: runs.append(_Run(**kw)) or runs[-1]
+    monkeypatch.setitem(sys.modules, "neptune", fake)
+    monkeypatch.setenv("NPT_PROJECT", "ws/proj")
+    monkeypatch.setenv("NPT_API_TOKEN", "tok")
+
+    tr = make_tracker("neptune", str(tmp_path), tags=["LSTMAutoencoder", 3])
+    assert tr.__class__.__name__ == "NeptuneTracker"
+    run = runs[0]
+    assert run.kwargs["project"] == "ws/proj"
+    assert run.kwargs["api_token"] == "tok"
+    assert run.kwargs["tags"] == ["LSTMAutoencoder", "3"]  # stringified like the reference's
+    tr.log("Train Loss", 0.5)
+    tr.log("Train Loss", 0.25)
+    tr.log("Validation loss", 0.4)
+    tr.close()
+    assert run.streams["Train Loss"].values == [0.5, 0.25]
+    assert run.streams["Validation loss"].values == [0.4]
+    assert run.stopped
+
+    # without a neptune module the factory must fall back to jsonl, not raise
+    monkeypatch.setitem(sys.modules, "neptune", None)  # import -> ImportError
+    assert isinstance(make_tracker("neptune", str(tmp_path)), JsonlTracker)
+
+
 def test_profiling_timer_and_trace(tmp_path):
     from ae_waveforms_tpu.train.profiling import Timer, trace
 
