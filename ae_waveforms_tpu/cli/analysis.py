@@ -19,7 +19,11 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--dataset_dir", required=True)
     p.add_argument("--results_dir", default="./results")
-    p.add_argument("--search", choices=["sweep", "gp", "none"], default="none")
+    p.add_argument("--search", choices=["sweep", "gp", "skopt", "none"], default="none",
+                   help="sweep: device-batched lattice search (recommended); gp: "
+                        "from-scratch Matern-5/2+EI optimiser; skopt: the real "
+                        "skopt.gp_minimize with the reference's exact settings "
+                        "(requires a skopt install)")
     p.add_argument("--search_calls", type=int, default=2000)
     p.add_argument("--model", action="append", default=[],
                    help="trained AE runs to compare, as run_name:latent_size[:seed]")
@@ -40,9 +44,10 @@ def main(argv=None):
 
     from ae_waveforms_tpu.analysis.trad_vs_ae import compare
 
-    if args.search == "gp":
-        # procedure-parity mode: GP optimiser with the reference's call
-        # budget/seed/x0 over the device-batched objective
+    if args.search in ("gp", "skopt"):
+        # procedure-parity modes: a Bayesian optimiser with the reference's
+        # call budget/seed/x0 over the device-batched objective — "gp" is the
+        # from-scratch Matern-5/2+EI optimiser, "skopt" the real library call
         import numpy as np
 
         from ae_waveforms_tpu.core.schema import load_arrays
@@ -51,13 +56,22 @@ def main(argv=None):
             gp_minimize,
             make_objective,
             prepare_reconstruction_inputs,
+            skopt_gp_minimize,
         )
 
         arrays = load_arrays(cfg.dataset_dir)
         beats = np.asarray(arrays.waves, np.float32)
         fx, fy, baselines, x_time = prepare_reconstruction_inputs(np.asarray(arrays.features))
         objective = make_objective(fx, fy, baselines, x_time, beats - beats.max(axis=1, keepdims=True))
-        res = gp_minimize(objective, n_calls=args.search_calls, seed=42, x0=SIGMA_MAP_X0)
+        search = skopt_gp_minimize if args.search == "skopt" else gp_minimize
+        try:
+            res = search(objective, n_calls=args.search_calls, seed=42, x0=SIGMA_MAP_X0)
+        except ImportError as e:
+            raise SystemExit(
+                f"--search skopt needs scikit-optimize installed ({e}); "
+                "use --search gp for the built-in optimiser with the same "
+                "budget/seed/x0 interface"
+            ) from e
         print(f"Best Parameters: {res.x}\nBest Test Loss: {res.fun}")
         compare(cfg, model_runs=model_runs, sigma_map=res.x, plot_dir=args.plot_dir)
     else:

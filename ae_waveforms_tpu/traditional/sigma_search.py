@@ -38,6 +38,7 @@ __all__ = [
     "make_objective",
     "sweep_search",
     "gp_minimize",
+    "skopt_gp_minimize",
 ]
 
 # occurrence-order reindex of the 20 fiducial feature columns
@@ -207,4 +208,49 @@ def gp_minimize(
     i = int(np.argmin(ya))
     return GPResult(
         x=[int(v) for v in X[i]], fun=float(ya[i]), x_iters=[[int(v) for v in r] for r in X], func_vals=ya
+    )
+
+
+def skopt_gp_minimize(
+    objective: Callable,
+    n_calls: int = 2000,
+    seed: int = 42,
+    x0: Optional[np.ndarray] = None,
+    dims: int = 12,
+    bounds: Tuple[int, int] = (1, 5),
+) -> GPResult:
+    """TRAJECTORY-parity mode: the real ``skopt.gp_minimize`` configured
+    exactly as the reference runs it — ``dims`` x ``Integer(1, 5)`` search
+    space, ``n_calls=2000``, ``random_state=42``, ``x0`` seed point, library
+    defaults for everything else
+    (analysis_performance_traditional_vs_ae.py:93-99) — driving the batched
+    device objective one point at a time, exactly like the reference's
+    per-call Python loop.
+
+    Gated: no skopt wheel exists in this image, so this raises ImportError
+    here; ``tests/test_skopt_oracle.py`` activates wherever ``import skopt``
+    succeeds, and the from-scratch :func:`gp_minimize` above remains the
+    capability-equivalent fallback (same budget/seed/x0 interface).  The
+    published final sigma map is hard-coded upstream regardless of the
+    search path (analysis_...:121), so quality metrics do not depend on
+    which optimiser produced it.
+    """
+    from skopt import gp_minimize as _skopt_gp  # gated optional dependency
+    from skopt.space import Integer
+
+    lo, hi = bounds
+    space = [Integer(lo, hi) for _ in range(dims)]
+    x0_list = [int(v) for v in (SIGMA_MAP_X0 if x0 is None else np.asarray(x0))]
+    res = _skopt_gp(
+        lambda params: float(objective(np.asarray(params, float)[None, :])[0]),
+        dimensions=space,
+        n_calls=n_calls,
+        random_state=seed,
+        x0=x0_list,
+    )
+    return GPResult(
+        x=[int(v) for v in res.x],
+        fun=float(res.fun),
+        x_iters=[[int(v) for v in r] for r in res.x_iters],
+        func_vals=np.asarray(res.func_vals, float),
     )
