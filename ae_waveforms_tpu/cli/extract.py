@@ -44,6 +44,10 @@ def main(argv=None):
     p.add_argument("--no-cache", action="store_true")
     p.add_argument("--batched", action="store_true",
                    help="pool windows across cases into large device batches")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="shard each window chunk over this many chips "
+                        "(device engine + --batched; SPMD over the 'data' "
+                        "mesh axis, parallel/mesh.py)")
     p.add_argument("--from-parquet", type=str, default=None,
                    help="skip extraction: build the arrays from a directory of "
                         "reference-format per-case parquet files")
@@ -77,9 +81,17 @@ def main(argv=None):
 
         loader = lambda cid: synthetic_ecg_record(duration_s=args.duration, seed=int(cid))  # noqa: E731
 
+    mesh = None
+    if args.n_devices is not None and args.n_devices > 1:
+        if args.engine != "device" or not args.batched:
+            raise SystemExit("--n_devices requires --engine device --batched")
+        from ae_waveforms_tpu.parallel.mesh import data_mesh
+
+        mesh = data_mesh(args.n_devices)
+
     t0 = time.time()
     results = extract_cases(case_ids, loader, cfg, cache_dir=cache_dir, progress=True,
-                            batched=args.batched)
+                            batched=args.batched, mesh=mesh)
     arrays = build_arrays(results)
     save_arrays(arrays, args.out, allow_pickle=cfg.use_pickle)
 

@@ -401,6 +401,7 @@ def extract_cases(
     progress: bool = False,
     batched: bool = False,
     windows_per_batch: int = 512,
+    mesh=None,
 ) -> List[CaseResult]:
     """Extract a set of cases.  ``record_loader`` abstracts VitalDB/network
     vs. synthetic/file-based sources (reference: load_record.py).
@@ -408,6 +409,9 @@ def extract_cases(
     ``batched=True`` pools windows across cases into large device batches
     (``windows_per_batch``) before the per-window kernels — amortising kernel
     launches over many cases, the right shape for co-located TPU hosts.
+
+    ``mesh`` (device engine only) shards each window chunk's leading axis
+    over the mesh's 'data' axis so one dispatch runs SPMD across all chips.
 
     ``cfg.parallel_preprocessing`` prefetches records on a background thread
     so I/O overlaps device compute.
@@ -419,7 +423,8 @@ def extract_cases(
         ]
         record_loader = _prefetching_loader(record_loader, uncached)
     if batched:
-        return extract_cases_batched(case_ids, record_loader, cfg, cache_dir, progress, windows_per_batch)
+        return extract_cases_batched(case_ids, record_loader, cfg, cache_dir, progress,
+                                     windows_per_batch, mesh=mesh)
     results = []
     it = case_ids
     if progress:
@@ -489,17 +494,25 @@ def extract_cases_batched(
     cache_dir: Optional[str] = None,
     progress: bool = False,
     windows_per_batch: int = 512,
+    mesh=None,
 ) -> List[CaseResult]:
     """Cross-case batched pipeline: host preprocessing/segmentation per
     record, then the per-window kernels (R peaks, QC, median beats,
     delineation+features) run over pooled window batches.
 
     The device engine runs as a streaming pipeline (see
-    ``_extract_cases_batched_device``); host engines pool windows per
-    accumulated case group."""
+    ``_extract_cases_batched_device``) and accepts a ``mesh`` for multi-chip
+    SPMD dispatch; host engines pool windows per accumulated case group
+    (``mesh`` does not apply — their hot loop is the host delineator)."""
     if cfg.delineation_engine == "device":
         return _extract_cases_batched_device(
-            case_ids, record_loader, cfg, cache_dir, progress, windows_per_batch
+            case_ids, record_loader, cfg, cache_dir, progress, windows_per_batch,
+            mesh=mesh,
+        )
+    if mesh is not None:
+        raise ValueError(
+            "mesh sharding applies to delineation_engine='device' only "
+            f"(got engine={cfg.delineation_engine!r})"
         )
     results: List[CaseResult] = []
     pending: List[tuple] = []  # (cid, samples, indices)
@@ -609,10 +622,19 @@ def _extract_cases_batched_device(
     progress: bool = False,
     windows_per_batch: int = 512,
     inflight_depth: int = 2,
+    mesh=None,
 ) -> List[CaseResult]:
     """Streaming device extraction: cases flow window-by-window through a
     single compiled (windows_per_batch, 10000) kernel with no per-group
     barrier.
+
+    ``mesh``: an optional ``jax.sharding.Mesh`` — each chunk's window axis is
+    sharded over the mesh's 'data' axis before dispatch, so ONE program runs
+    SPMD across every chip (the kernel is row-independent: XLA partitions it
+    with zero collectives).  This is the multi-chip scale-out of the
+    reference's ``mp.Pool`` extraction fan-out
+    (data_extract_vitaldb.py:194-199); requires
+    ``windows_per_batch % mesh.shape['data'] == 0``.
 
     Three properties the per-group flush design lacked (measured 51.9 w/s
     end-to-end vs 216+ w/s for the kernel alone — round-2 VERDICT):
@@ -641,12 +663,27 @@ def _extract_cases_batched_device(
     kernel = _window_batch_kernel_jit()
     W = windows_per_batch
 
+    place = lambda chunk: chunk  # noqa: E731 — single-device: host array straight in
+    if mesh is not None:
+        import jax
+
+        from ae_waveforms_tpu.parallel.mesh import batch_sharding
+
+        n_data = mesh.shape["data"]
+        if W % n_data != 0:
+            raise ValueError(
+                f"windows_per_batch={W} must divide evenly over the mesh's "
+                f"data axis ({n_data} devices) for SPMD dispatch"
+            )
+        sharding = batch_sharding(mesh, ndim=2)
+        place = lambda chunk: jax.device_put(chunk, sharding)  # noqa: E731
+
     def run_chunk(chunk):
         """Dispatch one chunk through the light-profile program; returns the
         in-flight device value plus what a re-dispatch needs."""
         with _stage("dispatch"):
             slots = LIGHT_CANDIDATES if _host_max_locmax(chunk) <= LIGHT_CANDIDATES else None
-            dev = kernel(chunk, cfg.sampling_frequency, cfg.pvc_threshold,
+            dev = kernel(place(chunk), cfg.sampling_frequency, cfg.pvc_threshold,
                          cfg.sd_threshold_ecg, candidate_slots=slots, k_width=K_LIGHT)
         return dev, chunk, slots
 
@@ -656,7 +693,7 @@ def _extract_cases_batched_device(
         with _stage("pull"):
             arr = np.asarray(dev)
         if arr[:k, 357].max(initial=0.0) > K_LIGHT:
-            arr = np.asarray(kernel(chunk, cfg.sampling_frequency, cfg.pvc_threshold,
+            arr = np.asarray(kernel(place(chunk), cfg.sampling_frequency, cfg.pvc_threshold,
                                     cfg.sd_threshold_ecg, candidate_slots=slots))
         return arr[:k, :357]
     by_cid = {}

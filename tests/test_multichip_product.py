@@ -113,6 +113,37 @@ def test_main_train_cli_n_devices(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-4)
 
 
+def test_sharded_extraction_matches_single_device(tmp_path):
+    """The streaming device-extraction pipeline with its window chunks
+    sharded over 8 devices must reproduce the single-device results — the
+    kernel is row-independent, so partitioning the window axis changes no
+    per-row math (multi-chip scale-out of the reference's mp.Pool fan-out,
+    data_extract_vitaldb.py:194-199)."""
+    from ae_waveforms_tpu.core.config import ExtractionConfig
+    from ae_waveforms_tpu.data.extract import extract_cases_batched
+    from ae_waveforms_tpu.data.synthetic import synthetic_ecg_record
+
+    cfg = ExtractionConfig(delineation_engine="device")
+    records = {c: synthetic_ecg_record(duration_s=60.0, seed=100 + c) for c in range(12)}
+    kw = dict(cfg=cfg, cache_dir=None, windows_per_batch=16)
+    base = extract_cases_batched(list(records), records.get, **kw)
+    sharded = extract_cases_batched(list(records), records.get, mesh=data_mesh(8), **kw)
+
+    assert [r.case_id for r in sharded] == [r.case_id for r in base]
+    for a, b in zip(base, sharded):
+        assert b.n_windows_raw == a.n_windows_raw
+        np.testing.assert_array_equal(b.waves, a.waves)
+        np.testing.assert_array_equal(b.features, a.features)
+        np.testing.assert_array_equal(b.indices, a.indices)
+
+    # uneven chunk split over the mesh is rejected up front
+    import pytest
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        extract_cases_batched(list(records), records.get, cfg=cfg, cache_dir=None,
+                              windows_per_batch=12, mesh=data_mesh(8))
+
+
 def test_classify_mesh_seed_sharding_matches():
     """_fit_eval_vectorized with a seed-sharded mesh (the classify CLI's
     --n_devices path, incl. the zero-weight pad to a mesh multiple) must
