@@ -495,6 +495,7 @@ def extract_cases_batched(
     progress: bool = False,
     windows_per_batch: int = 512,
     mesh=None,
+    inflight_depth: int = 2,
 ) -> List[CaseResult]:
     """Cross-case batched pipeline: host preprocessing/segmentation per
     record, then the per-window kernels (R peaks, QC, median beats,
@@ -502,12 +503,14 @@ def extract_cases_batched(
 
     The device engine runs as a streaming pipeline (see
     ``_extract_cases_batched_device``) and accepts a ``mesh`` for multi-chip
-    SPMD dispatch; host engines pool windows per accumulated case group
-    (``mesh`` does not apply — their hot loop is the host delineator)."""
+    SPMD dispatch plus an ``inflight_depth`` (un-pulled chunks kept in
+    flight — deeper pipelining rides out per-dispatch latency spikes);
+    host engines pool windows per accumulated case group (``mesh`` does
+    not apply — their hot loop is the host delineator)."""
     if cfg.delineation_engine == "device":
         return _extract_cases_batched_device(
             case_ids, record_loader, cfg, cache_dir, progress, windows_per_batch,
-            mesh=mesh,
+            inflight_depth=inflight_depth, mesh=mesh,
         )
     if mesh is not None:
         raise ValueError(
