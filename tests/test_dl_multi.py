@@ -41,6 +41,79 @@ def test_train_classifier_multi_shapes():
     assert p0["fc2"]["w"].shape == (1, 32)
 
 
+def test_epoch_block_matches_host_epoch_loop():
+    """The fused multi-epoch program (scan over epochs + device AUC +
+    on-device early-stop carry) must reproduce the per-epoch host loop: same
+    parameter trajectory (same _epoch_core math) and the same per-epoch
+    validation AUCs as sklearn computes on host."""
+    import jax
+    import jax.numpy as jnp
+    from sklearn.metrics import roc_auc_score
+
+    from ae_waveforms_tpu.classify.dl import (
+        _epoch_block_multi,
+        _predict_multi,
+        _train_epoch_multi,
+    )
+    from ae_waveforms_tpu.models import lstm_classifier
+
+    rng = np.random.default_rng(5)
+    S, n, m, T, B, E = 2, 32, 16, 48, 16, 3
+    Xs = rng.standard_normal((S, n, T, 1)).astype(np.float32)
+    ys = (rng.uniform(size=(S, n)) > 0.5).astype(np.float32)
+    Xvs = rng.standard_normal((S, m, T, 1)).astype(np.float32)
+    yvs = np.tile([0.0, 1.0], (S, m // 2)).astype(np.float32)
+
+    def init_all():
+        keys = jax.vmap(jax.random.PRNGKey)(np.arange(S, dtype=np.uint32))
+        init_keys, run_keys = jax.vmap(jax.random.split, out_axes=1)(keys)
+        params, state = jax.vmap(lstm_classifier.init)(init_keys)
+        zeros = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)  # noqa: E731
+        return params, state, zeros(params), zeros(params), jnp.zeros((S,), jnp.float32), run_keys
+
+    steps = n // B
+    perms = np.stack(
+        [np.stack([np.random.default_rng(s).permutation(n) for _ in range(E)]) for s in range(S)]
+    ).astype(np.int32)  # (S, E, n)
+    idx = perms.reshape(S, E, steps, B)
+    mask = np.ones((S, E, steps, B), bool)
+    lrs = jnp.full((E,), 1e-3, jnp.float32)
+
+    # host loop: one epoch per dispatch, sklearn AUC
+    params, state, om, ov, ot, rngs = init_all()
+    host_aucs = np.zeros((S, E))
+    for e in range(E):
+        params, state, om, ov, ot, rngs, _ = _train_epoch_multi(
+            params, state, om, ov, ot, rngs,
+            jnp.asarray(Xs), jnp.asarray(ys),
+            jnp.asarray(idx[:, e]), jnp.asarray(mask[:, e]), lrs[e],
+        )
+        probs = np.asarray(_predict_multi(params, state, jnp.asarray(Xvs)))
+        for s in range(S):
+            host_aucs[s, e] = roc_auc_score(yvs[s], probs[s])
+    params_host = jax.tree_util.tree_map(np.asarray, params)
+
+    # fused block: all E epochs + device AUC + ES carry in one dispatch
+    params, state, om, ov, ot, rngs = init_all()
+    copy = lambda t: jax.tree_util.tree_map(lambda a: a.copy(), t)  # noqa: E731
+    out = _epoch_block_multi(
+        params, state, om, ov, ot, rngs, copy(params), copy(state),
+        jnp.zeros((S,), jnp.float32), jnp.zeros((S,), jnp.int32),
+        jnp.asarray(Xs), jnp.asarray(ys), jnp.asarray(idx), jnp.asarray(mask),
+        lrs, jnp.asarray(Xvs), jnp.asarray(yvs),
+        jnp.asarray(50, jnp.int32), jnp.asarray(5e-4, jnp.float32),
+    )
+    params_block, block_aucs = out[0], np.asarray(out[10])
+
+    np.testing.assert_allclose(block_aucs, host_aucs, atol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(b), a, rtol=2e-4, atol=2e-5),
+        params_host, params_block,
+    )
+    # best snapshot: monotone best tracking means best_auc == max over epochs
+    np.testing.assert_allclose(np.asarray(out[8]), host_aucs.max(axis=1), atol=1e-5)
+
+
 def test_multi_seed_training_shards_over_mesh():
     """The vmapped multi-seed epoch runs with its seed axis sharded over an
     8-device mesh (the DL harness counterpart of joblib fan-out)."""
