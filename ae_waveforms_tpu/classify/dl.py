@@ -341,10 +341,17 @@ def dl_size_seed_sweep(
                 ys = np.stack([p[2] for p in per])
                 yvs = np.stack([p[3] for p in per])
                 models = train_classifier_multi(Xs, ys, Xvs, yvs, chunk, num_epochs=num_epochs)
-                for s, (params, state) in zip(chunk, models):
-                    preds = np.asarray(_predict(params, state, jnp.asarray(X_test)))
-                    aucs.append(roc_auc_score(y_test, preds))
-                    maybe_save(s, params, state)
+                # one batched test-scoring dispatch for the whole chunk
+                stack = lambda trees: jax.tree_util.tree_map(  # noqa: E731
+                    lambda *leaves: jnp.stack(leaves), *trees
+                )
+                preds = np.asarray(_predict_multi(
+                    stack([m[0] for m in models]), stack([m[1] for m in models]),
+                    jnp.asarray(X_test),
+                ))
+                for i, s in enumerate(chunk):
+                    aucs.append(roc_auc_score(y_test, preds[i]))
+                    maybe_save(s, *models[i])
         else:
             for seed in range(n_seeds):
                 Xtr, Xva, ytr, yva = seed_data(seed)
