@@ -209,7 +209,9 @@ def train_classifier_multi(
     batch_size: int = 512,
     patience: int = 50,
     min_delta: float = 5e-4,
-) -> List[Tuple[Dict, Dict]]:
+    mesh=None,
+    return_stacked: bool = False,
+):
     """All seeds trained simultaneously, a whole BLOCK of epochs per device
     dispatch — the seed vmap amortises the LSTM scan's sequential step
     latency and the epoch fusion amortises the dispatch round trip (the two
@@ -222,31 +224,61 @@ def train_classifier_multi(
     The device AUC is tie-corrected and matches sklearn's to f32 tolerance
     (tests/test_device_auc.py); an early-stop decision can flip on a ~1e-7
     AUC difference relative to the host-scored per-epoch loop — within the
-    25-seed spread the harness reports."""
+    25-seed spread the harness reports.
+
+    ``mesh``: shard the seed axis over the mesh's 'data' axis (the TPU
+    counterpart of the reference training its 275 models sequentially,
+    main_dl_classify.py:122-158); seeds pad to a mesh multiple with
+    duplicates of the last seed, whose models are sliced off.
+    ``return_stacked=True`` returns the (best_p, best_s) trees with their
+    leading seed axis intact (device arrays) instead of per-seed host
+    copies — callers that immediately re-batch the models (e.g. the chunked
+    test scoring in ``dl_size_seed_sweep``) skip a device->host->device
+    round trip of every model."""
+    seeds = list(seeds)
+    S_real = len(seeds)
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        pad = (-S_real) % n_data
+        if pad:
+            Xs = np.concatenate([Xs, np.repeat(Xs[-1:], pad, axis=0)])
+            ys = np.concatenate([ys, np.repeat(ys[-1:], pad, axis=0)])
+            Xvs = np.concatenate([Xvs, np.repeat(Xvs[-1:], pad, axis=0)])
+            yvs = np.concatenate([yvs, np.repeat(yvs[-1:], pad, axis=0)])
+            seeds = seeds + [seeds[-1]] * pad
     S, n = ys.shape
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        seed_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        shard = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda a: jax.device_put(a, seed_sharding), t
+        )
+    else:
+        shard = lambda t: t  # noqa: E731
     keys = jax.vmap(jax.random.PRNGKey)(np.asarray(seeds, np.uint32))
     init_keys, run_keys = jax.vmap(jax.random.split, out_axes=1)(keys)
-    params, state = jax.vmap(lstm_classifier.init)(init_keys)
+    params, state = shard(jax.vmap(lstm_classifier.init)(init_keys))
     opt_m = jax.tree_util.tree_map(jnp.zeros_like, params)
     opt_v = jax.tree_util.tree_map(jnp.zeros_like, params)
-    opt_t = jnp.zeros((S,), jnp.float32)
-    rngs = run_keys
+    opt_t = shard(jnp.zeros((S,), jnp.float32))
+    rngs = shard(run_keys)
 
-    x = jnp.asarray(Xs, jnp.float32)
-    y = jnp.asarray(ys, jnp.float32)
-    xv = jnp.asarray(Xvs, jnp.float32)
-    yv = jnp.asarray(yvs, jnp.float32)
+    x = shard(jnp.asarray(Xs, jnp.float32))
+    y = shard(jnp.asarray(ys, jnp.float32))
+    xv = shard(jnp.asarray(Xvs, jnp.float32))
+    yv = shard(jnp.asarray(yvs, jnp.float32))
     steps = math.ceil(n / batch_size)
     host_rngs = [np.random.default_rng(int(s)) for s in seeds]
 
-    # early-stop carry on device; "never improved" falls back to the initial
-    # params like the per-epoch loop's final-params fallback (the first epoch
-    # improves in practice: auc - 0 > min_delta).  Distinct buffers — params
-    # and best_p are both donated, and donation forbids aliased arguments.
+    # early-stop carry on device; a seed that never clears min_delta is
+    # patched to its FINAL trained params after the loop (matching
+    # train_classifier's fallback).  Distinct buffers — params and best_p
+    # are both donated, and donation forbids aliased arguments.
     copy_tree = lambda t: jax.tree_util.tree_map(lambda a: a.copy(), t)  # noqa: E731
     best_p, best_s = copy_tree(params), copy_tree(state)
-    best_auc = jnp.zeros((S,), jnp.float32)
-    no_improve = jnp.zeros((S,), jnp.int32)
+    best_auc = shard(jnp.zeros((S,), jnp.float32))
+    no_improve = shard(jnp.zeros((S,), jnp.int32))
     patience_j = jnp.asarray(patience, jnp.int32)
     min_delta_j = jnp.asarray(min_delta, jnp.float32)
 
@@ -269,14 +301,28 @@ def train_classifier_multi(
             params, state, opt_m, opt_v, opt_t, rngs,
             best_p, best_s, best_auc, no_improve,
             x, y,
-            jnp.asarray(idx.reshape(S, E, steps, batch_size)),
-            jnp.asarray(mask.reshape(S, E, steps, batch_size)),
+            shard(jnp.asarray(idx.reshape(S, E, steps, batch_size))),
+            shard(jnp.asarray(mask.reshape(S, E, steps, batch_size))),
             lrs, xv, yv, patience_j, min_delta_j,
         )
         e0 += E
         if np.all(np.asarray(no_improve) >= patience):  # the per-block sync
             break
 
+    # a seed that never improved keeps its FINAL trained params, matching
+    # train_classifier's fallback; improvement requires auc > min_delta > 0,
+    # so best_auc == 0 identifies exactly the never-improved seeds
+    never = best_auc == 0.0
+    pick = lambda b, f: jnp.where(  # noqa: E731
+        never.reshape((S,) + (1,) * (f.ndim - 1)), f, b
+    )
+    best_p = jax.tree_util.tree_map(pick, best_p, params)
+    best_s = jax.tree_util.tree_map(pick, best_s, state)
+    if S_real != S:  # drop mesh-padding duplicate seeds
+        best_p = jax.tree_util.tree_map(lambda a: a[:S_real], best_p)
+        best_s = jax.tree_util.tree_map(lambda a: a[:S_real], best_s)
+    if return_stacked:
+        return best_p, best_s
     best_p = jax.tree_util.tree_map(np.asarray, best_p)
     best_s = jax.tree_util.tree_map(np.asarray, best_s)
     return [
@@ -284,7 +330,7 @@ def train_classifier_multi(
             jax.tree_util.tree_map(lambda a: a[s], best_p),
             jax.tree_util.tree_map(lambda a: a[s], best_s),
         )
-        for s in range(S)
+        for s in range(S_real)
     ]
 
 
@@ -299,11 +345,16 @@ def dl_size_seed_sweep(
     test_size: int = 250,
     vectorized: bool = False,
     seed_chunk: int = 25,
+    mesh=None,
 ) -> List[Dict]:
     """The full size x seed harness on raw beats; returns summary records.
 
     ``vectorized=True`` trains seeds in vmapped chunks (one device program
-    per epoch per chunk), identical per-seed data selection and schedules."""
+    per epoch per chunk), identical per-seed data selection and schedules.
+    ``mesh`` shards each chunk's seed axis over the mesh's 'data' axis
+    (implies vectorized)."""
+    if mesh is not None:
+        vectorized = True
     control = np.asarray(control_waves)[:, :, None].astype(np.float32)
     sick = np.asarray(sick_waves)[:, :, None].astype(np.float32)
     ts = min(test_size, len(control) - 1, len(sick) - 1)
@@ -340,18 +391,21 @@ def dl_size_seed_sweep(
                 Xvs = np.stack([p[1] for p in per])
                 ys = np.stack([p[2] for p in per])
                 yvs = np.stack([p[3] for p in per])
-                models = train_classifier_multi(Xs, ys, Xvs, yvs, chunk, num_epochs=num_epochs)
-                # one batched test-scoring dispatch for the whole chunk
-                stack = lambda trees: jax.tree_util.tree_map(  # noqa: E731
-                    lambda *leaves: jnp.stack(leaves), *trees
+                best_p, best_s = train_classifier_multi(
+                    Xs, ys, Xvs, yvs, chunk, num_epochs=num_epochs,
+                    mesh=mesh, return_stacked=True,
                 )
-                preds = np.asarray(_predict_multi(
-                    stack([m[0] for m in models]), stack([m[1] for m in models]),
-                    jnp.asarray(X_test),
-                ))
+                # one batched test-scoring dispatch for the whole chunk,
+                # straight from the stacked device trees (no host round trip)
+                preds = np.asarray(_predict_multi(best_p, best_s, jnp.asarray(X_test)))
                 for i, s in enumerate(chunk):
                     aucs.append(roc_auc_score(y_test, preds[i]))
-                    maybe_save(s, *models[i])
+                    if save_models and out_dir:
+                        maybe_save(
+                            s,
+                            jax.tree_util.tree_map(lambda a: np.asarray(a[i]), best_p),
+                            jax.tree_util.tree_map(lambda a: np.asarray(a[i]), best_s),
+                        )
         else:
             for seed in range(n_seeds):
                 Xtr, Xva, ytr, yva = seed_data(seed)

@@ -93,7 +93,7 @@ def run_features(args):
     stem = os.path.splitext(args.sick_features)[0]
     sizes = args.sizes + [10000, 11500]
     size_seed_sweep(data, gs["best_params"], sizes=sizes, n_seeds=args.seeds, drop_col=5,
-                    out_dir=out, file_stem=stem)
+                    out_dir=out, file_stem=stem, vectorized=args.vectorized, mesh=args.mesh)
 
 
 def run_deep(args):
@@ -106,7 +106,7 @@ def run_deep(args):
     out = os.path.join(args.data, f"{args.epochs}_{os.path.splitext(args.sick_file)[0]}")
     dl_size_seed_sweep(control, sick, sizes=args.sizes or DL_SIZES, n_seeds=args.seeds,
                        num_epochs=args.epochs, out_dir=out, save_models=args.save_models,
-                       vectorized=args.vectorized)
+                       vectorized=args.vectorized, mesh=args.mesh)
 
 
 def main(argv=None):

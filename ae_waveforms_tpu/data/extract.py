@@ -38,25 +38,28 @@ __all__ = ["CaseResult", "extract_case", "extract_cases", "preprocess_record", "
 #: segment, dispatch, pull.  Read/reset by benchmarks.
 STAGE_T: dict = {}
 
-_PROFILE = os.environ.get("AE_EXTRACT_PROFILE") == "1"
-
-
 class _stage:
-    """Context timer accumulating into STAGE_T[name] when profiling."""
+    """Context timer accumulating into STAGE_T[name] when profiling.
 
-    __slots__ = ("name", "t0")
+    The env var is read per stage entry (one getenv, negligible next to any
+    stage body) so profiling can be enabled after this module is imported —
+    an import-time snapshot silently produced an empty STAGE_T when the
+    caller set AE_EXTRACT_PROFILE post-import."""
+
+    __slots__ = ("name", "t0", "on")
 
     def __init__(self, name: str):
         self.name = name
 
     def __enter__(self):
-        if _PROFILE:
+        self.on = os.environ.get("AE_EXTRACT_PROFILE") == "1"
+        if self.on:
             import time
 
             self.t0 = time.perf_counter()
 
     def __exit__(self, *exc):
-        if _PROFILE:
+        if self.on:
             import time
 
             STAGE_T[self.name] = STAGE_T.get(self.name, 0.0) + time.perf_counter() - self.t0
@@ -467,20 +470,12 @@ def preprocess_records_batched(records: List[np.ndarray], cfg: ExtractionConfig)
     ``butterworth_batched``: segments pooled across ALL records, one
     device dispatch per length bucket.  float64 precision always takes
     the exact per-record scipy path."""
-    if cfg.precision == "float64":
+    if cfg.precision == "float64" or cfg.filter_backend == "host":
+        # per-record scipy chain: preprocess_record already trims and runs
+        # the exact f64 filtfilt pair for both of these cases — one copy of
+        # the filter chain to keep in sync with cfg knobs
         return [preprocess_record(r, cfg) for r in records]
     trimmed = [_trim_zscore(r, np.float32) for r in records]
-    if cfg.filter_backend == "host":
-        out = []
-        for rec in trimmed:
-            if cfg.butter_hp_ecg:
-                rec = butterworth(rec, "high", cfg.butter_hp_ecg, cfg.sampling_frequency,
-                                  cfg.butter_order, precision="float64")
-            if cfg.butter_lp_ecg:
-                rec = butterworth(rec, "low", cfg.butter_lp_ecg, cfg.sampling_frequency,
-                                  cfg.butter_order, precision="float64")
-            out.append(np.asarray(rec, np.float32))
-        return out
     return butterworth_batched(
         trimmed, cfg.butter_hp_ecg or None, cfg.butter_lp_ecg or None,
         cfg.sampling_frequency, cfg.butter_order,
@@ -794,6 +789,22 @@ def _extract_cases_batched_device(
 
     PREP_CHUNK = 32
     q: "_queue.Queue[tuple]" = _queue.Queue(maxsize=64)
+    stop = threading.Event()  # set when the consumer bails out — a dispatch
+    # error mid-stream must not leave the producer blocked in q.put forever
+
+    class _Abort(Exception):
+        pass
+
+    def _put(item: tuple) -> None:
+        """q.put that aborts (instead of blocking) once the consumer died."""
+        while True:
+            if stop.is_set():
+                raise _Abort
+            try:
+                q.put(item, timeout=0.2)
+                return
+            except _queue.Full:
+                continue
 
     def producer() -> None:
         prep: List[tuple] = []  # (cid, raw record)
@@ -810,15 +821,15 @@ def _extract_cases_batched_device(
                     res = CaseResult(cid, np.zeros((0, 320), np.float32), np.zeros((0, 35)), np.zeros((0,)), 0)
                     if cache_dir is not None:
                         _save_case(cache_dir, cid, res)
-                    q.put(("ready", cid, res))
+                    _put(("ready", cid, res))
                     continue
-                q.put(("case", cid, np.ascontiguousarray(samples, np.float32), indices))
+                _put(("case", cid, np.ascontiguousarray(samples, np.float32), indices))
             prep.clear()
 
         try:
             for cid in it:
                 if cache_dir is not None and os.path.exists(os.path.join(cache_dir, f"{cid}.npz")):
-                    q.put(("ready", cid, extract_case(cid, None, cfg, cache_dir)))
+                    _put(("ready", cid, extract_case(cid, None, cfg, cache_dir)))
                     continue
                 record = record_loader(cid)
                 if record is None:
@@ -827,10 +838,18 @@ def _extract_cases_batched_device(
                 if len(prep) >= PREP_CHUNK:
                     drain_prep()
             drain_prep()
+        except _Abort:
+            pass  # consumer already failed; its exception is the real one
         except BaseException as e:  # re-raised on the consumer side
-            q.put(("error", e))
+            try:
+                _put(("error", e))
+            except _Abort:
+                pass
         else:
-            q.put(("end",))
+            try:
+                _put(("end",))
+            except _Abort:
+                pass
 
     t = threading.Thread(target=producer, name="extract-prep", daemon=True)
     t.start()
@@ -852,5 +871,6 @@ def _extract_cases_batched_device(
         dispatch_tail()
         pull(0)
     finally:
+        stop.set()  # unblocks a producer waiting on a full queue
         t.join(timeout=60.0)
     return [by_cid[cid] for cid in case_ids if cid in by_cid]

@@ -341,7 +341,8 @@ def _bench_tpu_resilient() -> float:
         return bench_tpu()
     except Exception as e:
         print(f"# in-process TPU bench failed ({type(e).__name__}); retrying in subprocess", file=sys.stderr)
-    for attempt in range(2):
+    # observed worker outages last tens of minutes; spread 5 retries over ~25
+    for attempt in range(5):
         time.sleep(60 * (attempt + 1))
         proc = subprocess.run(
             [sys.executable, __file__, "--tpu-only"], capture_output=True, text=True

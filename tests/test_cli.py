@@ -53,3 +53,36 @@ def test_cli_train_then_test(tmp_path):
     test_loss, rmse, rmse_samples, prd, prd_samples, pred, true, c = result
     assert np.isfinite(test_loss) and np.isfinite(rmse)
     assert pred.shape[1] == 320
+
+
+def test_cli_classify_deep_n_devices(tmp_path):
+    """`classify deep --n_devices 8` must actually shard the seed sweep over
+    the mesh (the flag was once a silent single-device no-op for this task)
+    and write the same artifact set as the sequential path."""
+    from ae_waveforms_tpu.cli.classify import main as classify_main
+
+    rng = np.random.default_rng(0)
+    n, length = 600, 64  # 300/class: the fixed 250-beat test tail needs >251
+    ids = np.arange(n)
+    waves = rng.standard_normal((n, length)).astype(np.float32)
+    waves[n // 2:] += 1.2  # separable classes
+    info = np.stack([ids, np.zeros(n)], axis=1)
+    data = tmp_path / "data"
+    data.mkdir()
+    np.save(data / "np_info.npy", info)
+    np.save(data / "np_waves.npy", waves)
+    for fname, sel in [("controls.csv", ids[: n // 2]), ("sick.csv", ids[n // 2:])]:
+        with open(data / fname, "w") as f:
+            f.write("idx,id\n")
+            for i, cid in enumerate(sel):
+                f.write(f"{i},{cid}\n")
+
+    classify_main([
+        "deep", "--data", str(data), "--sick_file", "sick.csv",
+        "--sizes", "10", "--seeds", "2", "--epochs", "1", "--n_devices", "8",
+    ])
+    out = data / "1_sick"
+    assert (out / "summary_auc_stats.csv").exists()
+    assert (out / "size_10" / "aucs_size_10.csv").exists()
+    rows = (out / "size_10" / "aucs_size_10.csv").read_text().strip().splitlines()
+    assert len(rows) == 3  # header + 2 seeds (mesh padding sliced off)

@@ -151,3 +151,53 @@ def test_multi_seed_training_shards_over_mesh():
     losses = np.asarray(out[-1])
     assert losses.shape == (S, steps)
     assert np.isfinite(losses).all()
+
+
+def test_sweep_mesh_matches_unsharded():
+    """The product-level mesh path (dl_size_seed_sweep(mesh=...)) pads the
+    seed axis to a mesh multiple, shards it, and reproduces the unsharded
+    vectorized results for the real seeds."""
+    from ae_waveforms_tpu.classify.dl import dl_size_seed_sweep
+    from ae_waveforms_tpu.parallel.mesh import data_mesh
+
+    control, sick = _cohorts()
+    kw = dict(sizes=[20], n_seeds=3, num_epochs=2, test_size=20)
+    vec = dl_size_seed_sweep(control, sick, vectorized=True, **kw)
+    mesh = dl_size_seed_sweep(control, sick, mesh=data_mesh(8), **kw)
+    np.testing.assert_allclose(mesh[0]["aucs"], vec[0]["aucs"], atol=1e-4)
+
+
+def test_never_improved_falls_back_to_final_params():
+    """A seed whose validation AUC never clears min_delta must return its
+    FINAL trained params (train_classifier's fallback), not the untrained
+    init.  min_delta=10 is unimprovable (falls back) and min_delta=-1e9
+    improves every epoch (best == last epoch); identical seeds/data mean
+    both must return the same final-epoch params."""
+    import jax
+
+    from ae_waveforms_tpu.classify.dl import train_classifier_multi
+    from ae_waveforms_tpu.models import lstm_classifier
+
+    rng = np.random.default_rng(3)
+    S, n, m, T = 1, 32, 12, 48
+    Xs = rng.standard_normal((S, n, T, 1)).astype(np.float32)
+    ys = (rng.uniform(size=(S, n)) > 0.5).astype(np.float32)
+    Xvs = rng.standard_normal((S, m, T, 1)).astype(np.float32)
+    yvs = np.tile([0.0, 1.0], (S, m // 2)).astype(np.float32)
+
+    kw = dict(num_epochs=2, batch_size=16, seeds=[0])
+    never = train_classifier_multi(Xs, ys, Xvs, yvs, min_delta=10.0, **kw)
+    always = train_classifier_multi(Xs, ys, Xvs, yvs, min_delta=-1e9, **kw)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        never[0][0], always[0][0],
+    )
+    # and the fallback is NOT the untrained init
+    keys = jax.vmap(jax.random.PRNGKey)(np.asarray([0], np.uint32))
+    init_keys, _ = jax.vmap(jax.random.split, out_axes=1)(keys)
+    params0, _ = jax.vmap(lstm_classifier.init)(init_keys)
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        never[0][0], jax.tree_util.tree_map(lambda a: np.asarray(a[0]), params0),
+    )
+    assert max(jax.tree_util.tree_leaves(deltas)) > 1e-6

@@ -168,3 +168,38 @@ def test_batched_device_high_hr_overflow_redispatch():
         mask = ~(np.isnan(a.features) & np.isnan(b.features))
         np.testing.assert_allclose(a.features[mask], b.features[mask], atol=1e-4)
         assert a.n_windows_raw == b.n_windows_raw
+
+
+def test_batched_device_consumer_error_does_not_hang_producer():
+    """A dispatch failure mid-stream must propagate promptly: the prefetch
+    producer used to stay blocked in q.put on the full queue (no stop
+    signal), stalling the re-raise on the 60 s thread-join and leaking the
+    thread."""
+    import threading
+    import time
+
+    import pytest
+
+    import ae_waveforms_tpu.data.extract as extract_mod
+
+    def boom_kernel(*a, **k):
+        raise RuntimeError("injected dispatch failure")
+
+    cfg = ExtractionConfig(precision="float32", delineation_engine="device")
+    loader = lambda cid: synthetic_ecg_record(duration_s=45.0, seed=600 + cid)  # noqa: E731
+    old = extract_mod._WINDOW_BATCH_KERNEL
+    extract_mod._WINDOW_BATCH_KERNEL = boom_kernel
+    try:
+        t0 = time.perf_counter()
+        with pytest.raises(RuntimeError, match="injected dispatch failure"):
+            # enough cases to overfill the 64-slot queue after the consumer
+            # dies at the very first dispatch (windows_per_batch=4)
+            extract_mod.extract_cases_batched(
+                list(range(150)), loader, cfg, cache_dir=None, windows_per_batch=4
+            )
+        elapsed = time.perf_counter() - t0
+    finally:
+        extract_mod._WINDOW_BATCH_KERNEL = old
+    assert elapsed < 30.0, f"error took {elapsed:.1f}s to propagate (producer hang)"
+    time.sleep(0.5)
+    assert not any(t.name == "extract-prep" for t in threading.enumerate())

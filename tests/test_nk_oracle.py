@@ -31,6 +31,12 @@ from ae_waveforms_tpu.signals.segment import segment_record
 FS = 500
 
 
+def _rp(w):
+    """Unpadded R-peak indices: find_rpeaks returns (padded peaks, n_peaks)."""
+    peaks, n = find_rpeaks(w, FS)
+    return np.asarray(peaks)[: int(n)]
+
+
 def _windows(n=6, duration_s=120.0, seed=0):
     cfg = ExtractionConfig()
     rec = synthetic_ecg_record(duration_s=duration_s, seed=seed)
@@ -46,7 +52,7 @@ def _windows(n=6, duration_s=120.0, seed=0):
 
 def test_rpeaks_match_nk():
     for i, w in enumerate(_windows()):
-        ours = np.asarray(find_rpeaks(w, FS))
+        ours = _rp(w)
         theirs = nk.ecg_findpeaks(w, sampling_rate=FS)["ECG_R_Peaks"]
         np.testing.assert_array_equal(ours, np.asarray(theirs), err_msg=f"window {i}")
 
@@ -54,7 +60,7 @@ def test_rpeaks_match_nk():
 def test_delineation_matches_nk_dwt():
     mismatches = total = 0
     for w in _windows():
-        rp = np.asarray(find_rpeaks(w, FS))
+        rp = _rp(w)
         if len(rp) == 0:
             continue
         ours = delineate(w, rp, FS)
@@ -100,7 +106,7 @@ def test_feature_rows_match_nk_pipeline():
 
     rows_ref = []
     for w in samples[keep]:
-        rp = np.asarray(find_rpeaks(w, FS))
+        rp = _rp(w)
         if len(rp) == 0:
             continue
         _, fid = nk.ecg_delineate(w, rpeaks=rp, sampling_rate=FS)
@@ -123,7 +129,7 @@ def test_resample_sensitivity_probe():
     for method in RESAMPLE_METHODS:
         mism = total = 0
         for w in _windows(n=4):
-            rp = np.asarray(find_rpeaks(w, FS))
+            rp = _rp(w)
             if len(rp) == 0:
                 continue
             ours = delineate(w, rp, FS, resample_method=method)
