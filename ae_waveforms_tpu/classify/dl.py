@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 import os
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -38,8 +38,13 @@ def _multistep_lr(epoch: int, base: float = 1e-4) -> float:
     return base * (0.5 ** ((epoch >= 50) + (epoch >= 100)))
 
 
-def _epoch_core(params, state, opt_m, opt_v, opt_t, rng, x, y, idx, mask, lr):
-    """One epoch: scan over batches with plain Adam (torch defaults)."""
+def _epoch_core(params, state, opt_m, opt_v, opt_t, rng, x, y, idx, mask, lr,
+                remat_chunk=None):
+    """One epoch: scan over batches with plain Adam (torch defaults).
+
+    ``remat_chunk`` (static): chunked rematerialisation of the LSTM scans —
+    identical gradients, ~T/chunk less HBM for backward residuals, which is
+    what fits all 25 sweep seeds in one program (layers.lstm_apply_remat)."""
 
     def step(carry, inp):
         params, state, m, v, t, rng = carry
@@ -50,7 +55,9 @@ def _epoch_core(params, state, opt_m, opt_v, opt_t, rng, x, y, idx, mask, lr):
         w = bmask.astype(jnp.float32)
 
         def loss_fn(p):
-            probs, new_state = lstm_classifier.forward(p, state, bx, train=True, rng=k)
+            probs, new_state = lstm_classifier.forward(
+                p, state, bx, train=True, rng=k, remat_chunk=remat_chunk
+            )
             probs = jnp.clip(probs[:, 0], 1e-7, 1 - 1e-7)
             bce = -(by * jnp.log(probs) + (1 - by) * jnp.log(1 - probs))
             return jnp.sum(bce * w) / jnp.maximum(jnp.sum(w), 1.0), new_state
@@ -82,7 +89,8 @@ _train_epoch_multi = partial(jax.jit, donate_argnums=(0, 1, 2, 3))(
 
 def _epoch_block_core(params, state, opt_m, opt_v, opt_t, rng,
                       best_p, best_s, best_auc, no_improve,
-                      x, y, idx, mask, lrs, xv, yv, patience, min_delta):
+                      x, y, idx, mask, lrs, xv, yv, patience, min_delta,
+                      remat_chunk=None):
     """A whole BLOCK of epochs for one seed in one traced program: each
     epoch trains (scan over batches), runs the eval-mode validation forward,
     scores tie-corrected ROC-AUC on device, and updates the early-stopping
@@ -104,7 +112,8 @@ def _epoch_block_core(params, state, opt_m, opt_v, opt_t, rng,
         params, state, m, v, t, rng, best_p, best_s, best_auc, no_improve = carry
         e_idx, e_mask, lr = inp
         params, state, m, v, t, rng, _ = _epoch_core(
-            params, state, m, v, t, rng, x, y, e_idx, e_mask, lr
+            params, state, m, v, t, rng, x, y, e_idx, e_mask, lr,
+            remat_chunk=remat_chunk,
         )
         probs, _ = lstm_classifier.forward(params, state, xv, train=False)
         auc = _roc_auc_device(probs[:, 0], yv, vmask)
@@ -124,12 +133,17 @@ def _epoch_block_core(params, state, opt_m, opt_v, opt_t, rng,
 
 # every argument carries a leading seed axis except the shared per-epoch lrs
 # and the early-stop thresholds; donate the full training/ES carry
-_epoch_block_multi = partial(jax.jit, donate_argnums=tuple(range(10)))(
-    jax.vmap(
-        _epoch_block_core,
-        in_axes=(0,) * 10 + (0, 0, 0, 0, None, 0, 0, None, None),
+@lru_cache(maxsize=None)
+def _get_epoch_block_multi(remat_chunk=None):
+    return partial(jax.jit, donate_argnums=tuple(range(10)))(
+        jax.vmap(
+            partial(_epoch_block_core, remat_chunk=remat_chunk),
+            in_axes=(0,) * 10 + (0, 0, 0, 0, None, 0, 0, None, None),
+        )
     )
-)
+
+
+_epoch_block_multi = _get_epoch_block_multi(None)
 
 
 @jax.jit
@@ -211,6 +225,7 @@ def train_classifier_multi(
     min_delta: float = 5e-4,
     mesh=None,
     return_stacked: bool = False,
+    remat_chunk: Optional[int] = None,
 ):
     """All seeds trained simultaneously, a whole BLOCK of epochs per device
     dispatch — the seed vmap amortises the LSTM scan's sequential step
@@ -234,7 +249,10 @@ def train_classifier_multi(
     leading seed axis intact (device arrays) instead of per-seed host
     copies — callers that immediately re-batch the models (e.g. the chunked
     test scoring in ``dl_size_seed_sweep``) skip a device->host->device
-    round trip of every model."""
+    round trip of every model.
+    ``remat_chunk``: chunked LSTM rematerialisation (see ``_epoch_core``) —
+    lets seed_chunk=25 fit where the plain path is HBM-bound at ~5."""
+    epoch_block_multi = _get_epoch_block_multi(remat_chunk)
     seeds = list(seeds)
     S_real = len(seeds)
     if mesh is not None:
@@ -297,7 +315,7 @@ def train_classifier_multi(
                 mask[s, e, :n] = True
         lrs = jnp.asarray([_multistep_lr(e0 + e) for e in range(E)], jnp.float32)
         (params, state, opt_m, opt_v, opt_t, rngs,
-         best_p, best_s, best_auc, no_improve, _) = _epoch_block_multi(
+         best_p, best_s, best_auc, no_improve, _) = epoch_block_multi(
             params, state, opt_m, opt_v, opt_t, rngs,
             best_p, best_s, best_auc, no_improve,
             x, y,
@@ -346,6 +364,7 @@ def dl_size_seed_sweep(
     vectorized: bool = False,
     seed_chunk: int = 25,
     mesh=None,
+    remat_chunk: Optional[int] = None,
 ) -> List[Dict]:
     """The full size x seed harness on raw beats; returns summary records.
 
@@ -393,7 +412,7 @@ def dl_size_seed_sweep(
                 yvs = np.stack([p[3] for p in per])
                 best_p, best_s = train_classifier_multi(
                     Xs, ys, Xvs, yvs, chunk, num_epochs=num_epochs,
-                    mesh=mesh, return_stacked=True,
+                    mesh=mesh, return_stacked=True, remat_chunk=remat_chunk,
                 )
                 # one batched test-scoring dispatch for the whole chunk,
                 # straight from the stacked device trees (no host round trip)

@@ -16,7 +16,14 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ae_waveforms_tpu.models.layers import dropout, linear_apply, linear_init, lstm_apply, lstm_init
+from ae_waveforms_tpu.models.layers import (
+    dropout,
+    linear_apply,
+    linear_init,
+    lstm_apply,
+    lstm_apply_remat,
+    lstm_init,
+)
 
 __all__ = ["init", "forward"]
 
@@ -43,16 +50,23 @@ def init(key, dropout_rate: float = 0.2, hidden_sizes=(128, 64)) -> Tuple[Dict, 
 
 
 def forward(
-    params: Dict, state: Dict, x: jnp.ndarray, *, train: bool = False, rng=None, rate: float = 0.2
+    params: Dict, state: Dict, x: jnp.ndarray, *, train: bool = False, rng=None, rate: float = 0.2,
+    remat_chunk: int | None = None,
 ) -> Tuple[jnp.ndarray, Dict]:
+    """``remat_chunk``: rematerialise the LSTM scans in chunks of that many
+    time steps (identical math/gradients, ~T/chunk less HBM for backward
+    residuals — see ``layers.lstm_apply_remat``); None = plain scans."""
+    apply = lstm_apply if remat_chunk is None else (
+        lambda p, h: lstm_apply_remat(p, h, remat_chunk)
+    )
     k1 = k2 = None
     if train:
         k1, k2 = jax.random.split(rng)
-    h, _ = lstm_apply(params["lstm1"], x)
+    h, _ = apply(params["lstm1"], x)
     h = dropout(k1, h, rate, train)
-    h, _ = lstm_apply(params["lstm2"], h)
+    h, _ = apply(params["lstm2"], h)
     h = dropout(k2, h, rate, train)
-    h, _ = lstm_apply(params["lstm3"], h)  # (B, T, H)
+    h, _ = apply(params["lstm3"], h)  # (B, T, H)
 
     attn = jax.nn.softmax(linear_apply(params["attn"], h), axis=1)  # (B, T, 1)
     pooled = jnp.sum(h * attn, axis=1)  # (B, H)

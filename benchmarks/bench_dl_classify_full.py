@@ -68,7 +68,8 @@ def make_waves(n_per_class: int = 12000, seed: int = 0):
     return control, sick
 
 
-def run_device(n_per_class: int, out_dir: str | None, seed_chunk: int = 5) -> None:
+def run_device(n_per_class: int, out_dir: str | None, seed_chunk: int = 5,
+               remat_chunk: int | None = None) -> None:
     import jax
 
     from ae_waveforms_tpu.classify.dl import DL_SIZES, dl_size_seed_sweep
@@ -85,7 +86,7 @@ def run_device(n_per_class: int, out_dir: str | None, seed_chunk: int = 5) -> No
         t0 = time.perf_counter()
         rec = dl_size_seed_sweep(
             control, sick, sizes=(size,), n_seeds=25, vectorized=True,
-            out_dir=out_dir, seed_chunk=seed_chunk,
+            out_dir=out_dir, seed_chunk=seed_chunk, remat_chunk=remat_chunk,
         )[0]
         rec["wall_s"] = round(time.perf_counter() - t0, 1)
         per_size.append(rec)
@@ -159,10 +160,15 @@ if __name__ == "__main__":
     p.add_argument("--out_dir", default=None)
     # 25-seed vmapped backward stores ~53 GB of LSTM scan activations
     # (25 x 512 batch x 320 steps x 3 layers) vs 15.75 GB HBM; 5-seed
-    # chunks fit with one compiled program shape per size.
+    # chunks fit with one compiled program shape per size.  Alternatively
+    # --remat_chunk 20 rematerialises the scans (identical gradients) so
+    # --seed_chunk 25 fits in one program per size.
     p.add_argument("--seed_chunk", type=int, default=5)
+    p.add_argument("--remat_chunk", type=int, default=0,
+                   help="chunked LSTM remat length (0 = off)")
     args = p.parse_args()
     if args.torch_probe:
         run_torch_probe(args.n_per_class)
     else:
-        run_device(args.n_per_class, args.out_dir, args.seed_chunk)
+        run_device(args.n_per_class, args.out_dir, args.seed_chunk,
+                   args.remat_chunk or None)

@@ -201,3 +201,60 @@ def test_never_improved_falls_back_to_final_params():
         never[0][0], jax.tree_util.tree_map(lambda a: np.asarray(a[0]), params0),
     )
     assert max(jax.tree_util.tree_leaves(deltas)) > 1e-6
+
+
+def test_lstm_remat_matches_plain():
+    """Chunked-remat LSTM: identical outputs AND gradients to the plain
+    scan, including a T not divisible by the chunk (padded tail)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ae_waveforms_tpu.models.layers import lstm_apply, lstm_apply_remat, lstm_init
+
+    rng = np.random.default_rng(0)
+    for T in (40, 47):  # 47: pad path, h_last from the last real step
+        params = lstm_init(jax.random.PRNGKey(0), 3, 16)
+        x = jnp.asarray(rng.standard_normal((4, T, 3)), jnp.float32)
+
+        out_p, last_p = lstm_apply(params, x)
+        out_r, last_r = lstm_apply_remat(params, x, chunk=20)
+        np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_p), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(last_r), np.asarray(last_p), atol=1e-6)
+
+        loss_p = lambda p: jnp.sum(lstm_apply(p, x)[0] ** 2)  # noqa: E731
+        loss_r = lambda p: jnp.sum(lstm_apply_remat(p, x, chunk=20)[0] ** 2)  # noqa: E731
+        g_p = jax.grad(loss_p)(params)
+        g_r = jax.grad(loss_r)(params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            ),
+            g_r, g_p,
+        )
+
+
+def test_train_classifier_multi_remat_matches_plain():
+    """remat_chunk changes HBM use, not math: the trained params must match
+    the plain path to float32 tolerance."""
+    import jax
+
+    from ae_waveforms_tpu.classify.dl import train_classifier_multi
+
+    rng = np.random.default_rng(7)
+    S, n, m, T = 2, 32, 12, 48
+    Xs = rng.standard_normal((S, n, T, 1)).astype(np.float32)
+    ys = (rng.uniform(size=(S, n)) > 0.5).astype(np.float32)
+    Xvs = rng.standard_normal((S, m, T, 1)).astype(np.float32)
+    yvs = np.tile([0.0, 1.0], (S, m // 2)).astype(np.float32)
+
+    kw = dict(seeds=[0, 1], num_epochs=2, batch_size=16)
+    plain = train_classifier_multi(Xs, ys, Xvs, yvs, **kw)
+    remat = train_classifier_multi(Xs, ys, Xvs, yvs, remat_chunk=16, **kw)
+    # the per-chunk input projection groups f32 matmul reductions differently
+    # from the whole-sequence one; the ~1e-7 per-step noise compounds through
+    # Adam's normalised updates, so tolerance is f32-training-scale
+    for s in range(S):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4),
+            plain[s][0], remat[s][0],
+        )
