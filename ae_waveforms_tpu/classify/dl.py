@@ -152,6 +152,21 @@ def _predict(params, state, x):
     return probs[:, 0]
 
 
+@jax.jit
+def _never_improved_fallback(best_p, best_s, params, state, best_auc):
+    """Per-seed: substitute the FINAL trained (params, state) where the
+    early-stop snapshot never improved (best_auc still exactly 0)."""
+    S = best_auc.shape[0]
+    never = best_auc == 0.0
+    pick = lambda b, f: jnp.where(  # noqa: E731
+        never.reshape((S,) + (1,) * (f.ndim - 1)), f, b
+    )
+    return (
+        jax.tree_util.tree_map(pick, best_p, params),
+        jax.tree_util.tree_map(pick, best_s, state),
+    )
+
+
 def train_classifier(
     X_train: np.ndarray,
     y_train: np.ndarray,
@@ -330,12 +345,8 @@ def train_classifier_multi(
     # a seed that never improved keeps its FINAL trained params, matching
     # train_classifier's fallback; improvement requires auc > min_delta > 0,
     # so best_auc == 0 identifies exactly the never-improved seeds
-    never = best_auc == 0.0
-    pick = lambda b, f: jnp.where(  # noqa: E731
-        never.reshape((S,) + (1,) * (f.ndim - 1)), f, b
-    )
-    best_p = jax.tree_util.tree_map(pick, best_p, params)
-    best_s = jax.tree_util.tree_map(pick, best_s, state)
+    # (one jitted dispatch — per-leaf eager wheres cost ~40 relay round trips)
+    best_p, best_s = _never_improved_fallback(best_p, best_s, params, state, best_auc)
     if S_real != S:  # drop mesh-padding duplicate seeds
         best_p = jax.tree_util.tree_map(lambda a: a[:S_real], best_p)
         best_s = jax.tree_util.tree_map(lambda a: a[:S_real], best_s)

@@ -106,7 +106,8 @@ def run_deep(args):
     out = os.path.join(args.data, f"{args.epochs}_{os.path.splitext(args.sick_file)[0]}")
     dl_size_seed_sweep(control, sick, sizes=args.sizes or DL_SIZES, n_seeds=args.seeds,
                        num_epochs=args.epochs, out_dir=out, save_models=args.save_models,
-                       vectorized=args.vectorized, mesh=args.mesh)
+                       vectorized=args.vectorized, mesh=args.mesh,
+                       seed_chunk=args.seed_chunk, remat_chunk=args.remat_chunk or None)
 
 
 def main(argv=None):
@@ -132,6 +133,11 @@ def main(argv=None):
     p.add_argument("--n_devices", type=int, default=0,
                    help="shard the vectorized seed axis over an n-device mesh "
                         "(0 = single-device programs; implies --vectorized)")
+    p.add_argument("--seed_chunk", type=int, default=25,
+                   help="deep task: seeds trained per vmapped program")
+    p.add_argument("--remat_chunk", type=int, default=0,
+                   help="deep task: chunked LSTM remat length (identical "
+                        "gradients, ~T/chunk less HBM; 0 = off)")
     args = p.parse_args(argv)
     args.mesh = None
     if args.n_devices:
