@@ -88,7 +88,7 @@ _train_epoch_multi = partial(jax.jit, donate_argnums=(0, 1, 2, 3))(
 
 
 def _epoch_block_core(params, state, opt_m, opt_v, opt_t, rng,
-                      best_p, best_s, best_auc, no_improve,
+                      best_p, best_s, best_auc, no_improve, ever_improved,
                       x, y, idx, mask, lrs, xv, yv, patience, min_delta,
                       remat_chunk=None):
     """A whole BLOCK of epochs for one seed in one traced program: each
@@ -109,7 +109,8 @@ def _epoch_block_core(params, state, opt_m, opt_v, opt_t, rng,
     vmask = jnp.ones(yv.shape, bool)
 
     def epoch(carry, inp):
-        params, state, m, v, t, rng, best_p, best_s, best_auc, no_improve = carry
+        (params, state, m, v, t, rng,
+         best_p, best_s, best_auc, no_improve, ever) = carry
         e_idx, e_mask, lr = inp
         params, state, m, v, t, rng, _ = _epoch_core(
             params, state, m, v, t, rng, x, y, e_idx, e_mask, lr,
@@ -121,12 +122,15 @@ def _epoch_block_core(params, state, opt_m, opt_v, opt_t, rng,
         best_p = jax.tree_util.tree_map(lambda b, n: jnp.where(improved, n, b), best_p, params)
         best_s = jax.tree_util.tree_map(lambda b, n: jnp.where(improved, n, b), best_s, state)
         best_auc = jnp.where(improved, auc, best_auc)
+        ever = ever | improved  # exact "has a snapshot" flag (any min_delta)
         no_improve = jnp.where(
             no_improve >= patience, no_improve, jnp.where(improved, 0, no_improve + 1)
         )
-        return (params, state, m, v, t, rng, best_p, best_s, best_auc, no_improve), auc
+        return (params, state, m, v, t, rng,
+                best_p, best_s, best_auc, no_improve, ever), auc
 
-    carry = (params, state, opt_m, opt_v, opt_t, rng, best_p, best_s, best_auc, no_improve)
+    carry = (params, state, opt_m, opt_v, opt_t, rng,
+             best_p, best_s, best_auc, no_improve, ever_improved)
     carry, aucs = jax.lax.scan(epoch, carry, (idx, mask, lrs))
     return carry + (aucs,)
 
@@ -135,10 +139,10 @@ def _epoch_block_core(params, state, opt_m, opt_v, opt_t, rng,
 # and the early-stop thresholds; donate the full training/ES carry
 @lru_cache(maxsize=None)
 def _get_epoch_block_multi(remat_chunk=None):
-    return partial(jax.jit, donate_argnums=tuple(range(10)))(
+    return partial(jax.jit, donate_argnums=tuple(range(11)))(
         jax.vmap(
             partial(_epoch_block_core, remat_chunk=remat_chunk),
-            in_axes=(0,) * 10 + (0, 0, 0, 0, None, 0, 0, None, None),
+            in_axes=(0,) * 11 + (0, 0, 0, 0, None, 0, 0, None, None),
         )
     )
 
@@ -153,11 +157,12 @@ def _predict(params, state, x):
 
 
 @jax.jit
-def _never_improved_fallback(best_p, best_s, params, state, best_auc):
+def _never_improved_fallback(best_p, best_s, params, state, ever_improved):
     """Per-seed: substitute the FINAL trained (params, state) where the
-    early-stop snapshot never improved (best_auc still exactly 0)."""
-    S = best_auc.shape[0]
-    never = best_auc == 0.0
+    early-stop gate never took a snapshot (explicit flag — exact for any
+    min_delta sign, unlike a best_auc sentinel)."""
+    S = ever_improved.shape[0]
+    never = ~ever_improved
     pick = lambda b, f: jnp.where(  # noqa: E731
         never.reshape((S,) + (1,) * (f.ndim - 1)), f, b
     )
@@ -287,8 +292,15 @@ def train_classifier_multi(
         shard = lambda t: jax.tree_util.tree_map(  # noqa: E731
             lambda a: jax.device_put(a, seed_sharding), t
         )
+        # host arrays go straight to their shards in ONE transfer —
+        # jnp.asarray-then-reshard would first commit the full array to one
+        # device (transient whole-array HBM + a second inter-device copy)
+        put = lambda a, dt: jax.device_put(  # noqa: E731
+            np.asarray(a, dt), seed_sharding
+        )
     else:
         shard = lambda t: t  # noqa: E731
+        put = lambda a, dt: jnp.asarray(a, dt)  # noqa: E731
     keys = jax.vmap(jax.random.PRNGKey)(np.asarray(seeds, np.uint32))
     init_keys, run_keys = jax.vmap(jax.random.split, out_axes=1)(keys)
     params, state = shard(jax.vmap(lstm_classifier.init)(init_keys))
@@ -297,10 +309,10 @@ def train_classifier_multi(
     opt_t = shard(jnp.zeros((S,), jnp.float32))
     rngs = shard(run_keys)
 
-    x = shard(jnp.asarray(Xs, jnp.float32))
-    y = shard(jnp.asarray(ys, jnp.float32))
-    xv = shard(jnp.asarray(Xvs, jnp.float32))
-    yv = shard(jnp.asarray(yvs, jnp.float32))
+    x = put(Xs, np.float32)
+    y = put(ys, np.float32)
+    xv = put(Xvs, np.float32)
+    yv = put(yvs, np.float32)
     steps = math.ceil(n / batch_size)
     host_rngs = [np.random.default_rng(int(s)) for s in seeds]
 
@@ -312,6 +324,7 @@ def train_classifier_multi(
     best_p, best_s = copy_tree(params), copy_tree(state)
     best_auc = shard(jnp.zeros((S,), jnp.float32))
     no_improve = shard(jnp.zeros((S,), jnp.int32))
+    ever_improved = shard(jnp.zeros((S,), bool))
     patience_j = jnp.asarray(patience, jnp.int32)
     min_delta_j = jnp.asarray(min_delta, jnp.float32)
 
@@ -330,12 +343,12 @@ def train_classifier_multi(
                 mask[s, e, :n] = True
         lrs = jnp.asarray([_multistep_lr(e0 + e) for e in range(E)], jnp.float32)
         (params, state, opt_m, opt_v, opt_t, rngs,
-         best_p, best_s, best_auc, no_improve, _) = epoch_block_multi(
+         best_p, best_s, best_auc, no_improve, ever_improved, _) = epoch_block_multi(
             params, state, opt_m, opt_v, opt_t, rngs,
-            best_p, best_s, best_auc, no_improve,
+            best_p, best_s, best_auc, no_improve, ever_improved,
             x, y,
-            shard(jnp.asarray(idx.reshape(S, E, steps, batch_size))),
-            shard(jnp.asarray(mask.reshape(S, E, steps, batch_size))),
+            put(idx.reshape(S, E, steps, batch_size), np.int32),
+            put(mask.reshape(S, E, steps, batch_size), bool),
             lrs, xv, yv, patience_j, min_delta_j,
         )
         e0 += E
@@ -343,10 +356,9 @@ def train_classifier_multi(
             break
 
     # a seed that never improved keeps its FINAL trained params, matching
-    # train_classifier's fallback; improvement requires auc > min_delta > 0,
-    # so best_auc == 0 identifies exactly the never-improved seeds
-    # (one jitted dispatch — per-leaf eager wheres cost ~40 relay round trips)
-    best_p, best_s = _never_improved_fallback(best_p, best_s, params, state, best_auc)
+    # train_classifier's fallback (exact ever_improved flag; one jitted
+    # dispatch — per-leaf eager wheres cost ~40 relay round trips)
+    best_p, best_s = _never_improved_fallback(best_p, best_s, params, state, ever_improved)
     if S_real != S:  # drop mesh-padding duplicate seeds
         best_p = jax.tree_util.tree_map(lambda a: a[:S_real], best_p)
         best_s = jax.tree_util.tree_map(lambda a: a[:S_real], best_s)
@@ -405,10 +417,16 @@ def dl_size_seed_sweep(
             yv = np.concatenate([np.zeros(size), np.ones(size)])
             return train_test_split(X, yv, test_size=0.2, stratify=yv, random_state=seed)
 
-        def maybe_save(seed, params, state):
+        def maybe_save(seed, params, state, i=None):
+            """``i`` selects seed ``i`` out of stacked device trees — sliced
+            (and pulled to host) only when saving actually happens."""
             if save_models and out_dir:
                 from ae_waveforms_tpu.train.checkpoint import save_state
 
+                if i is not None:
+                    pick = lambda a: np.asarray(a[i])  # noqa: E731
+                    params = jax.tree_util.tree_map(pick, params)
+                    state = jax.tree_util.tree_map(pick, state)
                 os.makedirs(os.path.join(out_dir, f"size_{size}"), exist_ok=True)
                 save_state(os.path.join(out_dir, f"size_{size}", f"model_seed_{seed}.npz"),
                            {"params": params, "state": state})
@@ -430,12 +448,7 @@ def dl_size_seed_sweep(
                 preds = np.asarray(_predict_multi(best_p, best_s, jnp.asarray(X_test)))
                 for i, s in enumerate(chunk):
                     aucs.append(roc_auc_score(y_test, preds[i]))
-                    if save_models and out_dir:
-                        maybe_save(
-                            s,
-                            jax.tree_util.tree_map(lambda a: np.asarray(a[i]), best_p),
-                            jax.tree_util.tree_map(lambda a: np.asarray(a[i]), best_s),
-                        )
+                    maybe_save(s, best_p, best_s, i=i)
         else:
             for seed in range(n_seeds):
                 Xtr, Xva, ytr, yva = seed_data(seed)

@@ -99,11 +99,12 @@ def test_epoch_block_matches_host_epoch_loop():
     out = _epoch_block_multi(
         params, state, om, ov, ot, rngs, copy(params), copy(state),
         jnp.zeros((S,), jnp.float32), jnp.zeros((S,), jnp.int32),
+        jnp.zeros((S,), bool),
         jnp.asarray(Xs), jnp.asarray(ys), jnp.asarray(idx), jnp.asarray(mask),
         lrs, jnp.asarray(Xvs), jnp.asarray(yvs),
         jnp.asarray(50, jnp.int32), jnp.asarray(5e-4, jnp.float32),
     )
-    params_block, block_aucs = out[0], np.asarray(out[10])
+    params_block, block_aucs = out[0], np.asarray(out[11])
 
     np.testing.assert_allclose(block_aucs, host_aucs, atol=1e-5)
     jax.tree_util.tree_map(
