@@ -22,6 +22,13 @@ Additional lines (best-effort; each skipped on error):
   sigma_eval_throughput       batched device Gaussian-reconstruction
                               objective (sigma-map evaluations/s) vs a
                               numpy per-sample loop (ref: analysis_...:63-90)
+  dl_classifier_model_epochs_per_s
+                              the vectorized DL-classifier sweep path (25
+                              seeds vmapped, a 17-epoch block fused into one
+                              dispatch, chunked-remat LSTM backward) vs one
+                              torch-CPU epoch of the identical model/batch
+                              shape (ref: main_dl_classify.py:63-105 trains
+                              its 275 models sequentially)
 
 Every metric prints {"metric", "value", "unit", "vs_baseline"}; vs_baseline
 is speedup over the reference-equivalent CPU path (higher is better).
@@ -156,12 +163,16 @@ def bench_torch_cpu(n_steps: int = 3, n_reps: int = 3) -> float:
 
 # ------------------------------- extraction ---------------------------------
 
-def bench_extraction_device(n_records: int = 150, n_reps: int = 3) -> float:
+def bench_extraction_device(n_records: int = 450, n_reps: int = 3) -> float:
     """Times the SHIPPED streaming path — ``extract_cases_batched`` with the
     device engine (prefetch-thread host prep -> full-chunk-only dispatch ->
     depth-2 in-flight queue -> overflow re-dispatch contract), i.e. exactly
     what `cli/extract` runs and what `bench_extract_at_scale.py` measured at
-    411 w/s.  Records are pre-synthesised outside the timed region (the
+    411 w/s.  450 records -> ~4,950 windows -> ~9 full 512-window chunks per
+    run: enough for the depth-2 pipeline to reach steady state (150 records
+    was ~3 chunks, so queue ramp-up and the final partial chunk dominated
+    and the measured rate sat ~2x under the at-scale number for the same
+    code path).  Records are pre-synthesised outside the timed region (the
     reference loads them from disk/network); median of ``n_reps`` full
     streaming runs so one congested-relay window cannot set the number."""
     import statistics
@@ -265,6 +276,91 @@ def bench_gbt_sklearn() -> float:
     return 1.0 / (3 * dt)  # one candidate = 3 CV fold fits
 
 
+# --------------------------- DL classifier sweep ----------------------------
+
+DL_SEEDS, DL_EPOCHS, DL_TRAIN_N, DL_VAL_N = 25, 17, 3200, 800
+
+
+def _dl_task():
+    """Random beats at the size-2000 sweep shape (n = 2*2000*0.8 train rows,
+    batch 512).  Throughput does not depend on learnability: the epoch-block
+    program does identical work whether or not the AUC improves."""
+    rng = np.random.default_rng(0)
+    Xs = rng.standard_normal((DL_SEEDS, DL_TRAIN_N, SEQ, 1)).astype(np.float32)
+    ys = (rng.uniform(size=(DL_SEEDS, DL_TRAIN_N)) > 0.5).astype(np.float32)
+    Xvs = rng.standard_normal((DL_SEEDS, DL_VAL_N, SEQ, 1)).astype(np.float32)
+    yvs = (rng.uniform(size=(DL_SEEDS, DL_VAL_N)) > 0.5).astype(np.float32)
+    return Xs, ys, Xvs, yvs
+
+
+def bench_dl_device() -> float:
+    """Model-epochs/s of the SHIPPED vectorized DL-classifier path
+    (``train_classifier_multi``): all 25 seeds vmapped, a 17-epoch block
+    fused into one dispatch, chunked-remat LSTM backward so the whole seed
+    axis fits in HBM — the program `classify/dl.py:dl_size_seed_sweep`
+    runs per sweep size."""
+    from ae_waveforms_tpu.classify.dl import train_classifier_multi
+
+    Xs, ys, Xvs, yvs = _dl_task()
+
+    def run():
+        train_classifier_multi(
+            Xs, ys, Xvs, yvs, seeds=range(DL_SEEDS), num_epochs=DL_EPOCHS,
+            remat_chunk=20, return_stacked=True,
+        )
+
+    run()  # compile + relay warmup
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        rates.append(DL_SEEDS * DL_EPOCHS / (time.perf_counter() - t0))
+    return sorted(rates)[1]  # median of 3
+
+
+def bench_dl_torch() -> float:
+    """One torch-CPU training epoch of the identical LSTMClassifier and
+    batch shape (ref: functions_dl/model_classes.py:8-32 trained one model
+    at a time, main_dl_classify.py:63-105) -> model-epochs/s."""
+    import torch
+    import torch.nn as nn
+
+    class LSTMClassifier(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.l1 = nn.LSTM(1, 128, batch_first=True)
+            self.l2 = nn.LSTM(128, 64, batch_first=True)
+            self.l3 = nn.LSTM(64, 64, batch_first=True)
+            self.att = nn.Linear(64, 1)
+            self.bn = nn.BatchNorm1d(64)
+            self.fc1 = nn.Linear(64, 32)
+            self.fc2 = nn.Linear(32, 1)
+
+        def forward(self, x):
+            h, _ = self.l1(x)
+            h, _ = self.l2(h)
+            h, _ = self.l3(h)
+            w = torch.softmax(self.att(h), dim=1)
+            pooled = (w * h).sum(dim=1)
+            z = torch.relu(self.fc1(self.bn(pooled)))
+            return torch.sigmoid(self.fc2(z))[:, 0]
+
+    rng = np.random.default_rng(0)
+    X = torch.from_numpy(rng.standard_normal((DL_TRAIN_N, SEQ, 1)).astype(np.float32))
+    y = torch.from_numpy((rng.uniform(size=DL_TRAIN_N) > 0.5).astype(np.float32))
+    model = LSTMClassifier().train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    crit = nn.BCELoss()
+    # one-batch warmup outside the timed region (lazy kernel init)
+    opt.zero_grad(); crit(model(X[:512]), y[:512]).backward(); opt.step()
+    t0 = time.perf_counter()
+    for b0 in range(0, DL_TRAIN_N, 512):
+        opt.zero_grad()
+        crit(model(X[b0 : b0 + 512]), y[b0 : b0 + 512]).backward()
+        opt.step()
+    return 1.0 / (time.perf_counter() - t0)
+
+
 # ------------------------------ sigma search --------------------------------
 
 def _sigma_inputs(n_beats: int = 256):
@@ -329,60 +425,88 @@ def _emit(metric: str, value: float, unit: str, baseline: float) -> None:
     }), flush=True)
 
 
-def _bench_tpu_resilient() -> float:
-    """The tunnelled TPU worker occasionally crashes mid-session
-    (UNAVAILABLE), which poisons the in-process JAX client — recovery needs
-    a fresh process.  Try in-process first, then up to two subprocess
-    retries with backoff."""
+METRICS = {
+    # name -> (device_fn, host_fn, unit, subprocess timeout in seconds)
+    "lstm_ae_train_throughput": (bench_tpu, bench_torch_cpu, "samples/s", 1500),
+    "extraction_throughput": (bench_extraction_device, bench_extraction_host, "windows/s", 1500),
+    "gbt_grid_candidates_per_s": (bench_gbt_device, bench_gbt_sklearn, "candidates/s", 1200),
+    "sigma_eval_throughput": (bench_sigma_device, bench_sigma_host, "sigma-maps/s", 1200),
+    "dl_classifier_model_epochs_per_s": (bench_dl_device, bench_dl_torch, "model-epochs/s", 2400),
+}
+
+
+def _run_metric(name: str) -> None:
+    """Compute one metric in THIS process and emit its JSON line."""
+    from ae_waveforms_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    dev_fn, host_fn, unit, _ = METRICS[name]
+    dev = dev_fn()
+    host = host_fn()
+    _emit(name, dev, unit, host)
+
+
+def _run_metric_isolated(name: str, retries: int) -> bool:
+    """Run one metric in a subprocess with a hard timeout.
+
+    The tunnelled TPU worker has two observed failure modes, and both
+    require process isolation: (a) mid-session crashes (UNAVAILABLE) poison
+    the in-process JAX client, and (b) relay outages make device calls —
+    including ``jax.devices()`` itself — BLOCK for tens of minutes, which
+    no in-process try/except can catch.  Each metric therefore runs in its
+    own subprocess; a hang costs its timeout, not the whole bench run.
+    Timeouts are sized so a cold compile through the relay builder fits
+    (BENCHMARKS.md: 20-50 s per ~25 MB executable on a cache hit, minutes
+    cold).  Returns True once the metric line has been printed."""
     import subprocess
     import sys
 
-    try:
-        return bench_tpu()
-    except Exception as e:
-        print(f"# in-process TPU bench failed ({type(e).__name__}); retrying in subprocess", file=sys.stderr)
-    # observed worker outages last tens of minutes; spread 5 retries over ~25
-    for attempt in range(5):
-        time.sleep(60 * (attempt + 1))
-        proc = subprocess.run(
-            [sys.executable, __file__, "--tpu-only"], capture_output=True, text=True
-        )
+    timeout_s = METRICS[name][3]
+    for attempt in range(retries + 1):
+        if attempt:
+            time.sleep(60 * attempt)  # outages last minutes; back off
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--metric", name],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# {name} attempt {attempt}: timed out after {timeout_s}s "
+                  "(relay hang?)", file=sys.stderr)
+            continue
+        sys.stderr.write(proc.stderr)
+        emitted = False
         for line in proc.stdout.splitlines():
-            try:
-                return float(line.strip())
-            except ValueError:
-                continue
-    raise RuntimeError("TPU benchmark failed after retries")
+            if line.startswith("{"):
+                print(line, flush=True)
+                emitted = True
+        if emitted:
+            return True
+        print(f"# {name} attempt {attempt}: rc={proc.returncode}, no metric line",
+              file=sys.stderr)
+    return False
 
 
 def main():
     import sys
 
-    from ae_waveforms_tpu.core.runtime import enable_compilation_cache
-
-    enable_compilation_cache()
-    # headline first: the driver's primary line
-    tpu = _bench_tpu_resilient()
-    ref = bench_torch_cpu()
-    _emit("lstm_ae_train_throughput", tpu, "samples/s", ref)
-
-    for name, dev_fn, host_fn, unit in [
-        ("extraction_throughput", bench_extraction_device, bench_extraction_host, "windows/s"),
-        ("gbt_grid_candidates_per_s", bench_gbt_device, bench_gbt_sklearn, "candidates/s"),
-        ("sigma_eval_throughput", bench_sigma_device, bench_sigma_host, "sigma-maps/s"),
-    ]:
-        try:
-            dev = dev_fn()
-            host = host_fn()
-            _emit(name, dev, unit, host)
-        except Exception as e:
-            print(f"# {name} skipped: {type(e).__name__}: {e}", file=sys.stderr)
+    # headline first: the driver's primary line, worth the longest retry
+    ok = _run_metric_isolated("lstm_ae_train_throughput", retries=4)
+    if not ok:
+        raise RuntimeError("TPU headline benchmark failed after retries")
+    for name in METRICS:
+        if name == "lstm_ae_train_throughput":
+            continue
+        if not _run_metric_isolated(name, retries=1):
+            print(f"# {name} skipped after retries", file=sys.stderr)
 
 
 if __name__ == "__main__":
     import sys
 
-    if "--tpu-only" in sys.argv:
+    if "--metric" in sys.argv:
+        _run_metric(sys.argv[sys.argv.index("--metric") + 1])
+    elif "--tpu-only" in sys.argv:  # kept for older drivers / manual probes
         from ae_waveforms_tpu.core.runtime import enable_compilation_cache
 
         enable_compilation_cache()
