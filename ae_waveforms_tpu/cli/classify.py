@@ -135,9 +135,12 @@ def main(argv=None):
                         "(0 = single-device programs; implies --vectorized)")
     p.add_argument("--seed_chunk", type=int, default=25,
                    help="deep task: seeds trained per vmapped program")
-    p.add_argument("--remat_chunk", type=int, default=0,
+    p.add_argument("--remat_chunk", type=int, default=20,
                    help="deep task: chunked LSTM remat length (identical "
-                        "gradients, ~T/chunk less HBM; 0 = off)")
+                        "gradients, ~T/chunk less HBM).  0 = off, which is "
+                        "only safe with a small --seed_chunk: the 25-seed "
+                        "no-remat backward needs ~53 GB of scan residuals "
+                        "vs 16 GB HBM (benchmarks/bench_dl_classify_full.py)")
     args = p.parse_args(argv)
     args.mesh = None
     if args.n_devices:

@@ -52,6 +52,19 @@ def lstm_init(key, input_size: int, hidden_size: int, dtype=jnp.float32) -> Para
     }
 
 
+def lstm_cell(gates_x, h, c, w_hh_t):
+    """One LSTM time step from a pre-projected input (``gates_x`` already
+    holds x @ w_ih.T + biases).  torch gate order (i, f, g, o).  Every LSTM
+    variant in this module calls this one helper, so a change to the gate
+    semantics (dtype, precision, activation) lands in exactly one place."""
+    gates = gates_x + h @ w_hh_t
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+    g = jnp.tanh(g)
+    c = f * c + i * g
+    return o * jnp.tanh(c), c
+
+
 def lstm_apply(params: Params, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """x: (B, T, in) -> (outputs (B, T, H), last hidden (B, H)).
 
@@ -64,13 +77,7 @@ def lstm_apply(params: Params, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray
     w_hh_t = params["w_hh"].T
 
     def step(carry, gx):
-        h, c = carry
-        gates = gx + h @ w_hh_t
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
-        g = jnp.tanh(g)
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
+        h, c = lstm_cell(gx, *carry, w_hh_t)
         return (h, c), h
 
     h0 = jnp.zeros((B, H), x.dtype)
@@ -108,13 +115,7 @@ def lstm_apply_remat(params: Params, x: jnp.ndarray, chunk: int = 20) -> Tuple[j
         gates_x = xc @ w_ih_t + b  # per-chunk hoisted projection (MXU)
 
         def step(c2, gx):
-            h, c = c2
-            gates = gx + h @ w_hh_t
-            i, f, g, o = jnp.split(gates, 4, axis=-1)
-            i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
-            g = jnp.tanh(g)
-            c = f * c + i * g
-            h = o * jnp.tanh(c)
+            h, c = lstm_cell(gx, *c2, w_hh_t)
             return (h, c), h
 
         carry, hs = jax.lax.scan(step, carry, jnp.swapaxes(gates_x, 0, 1))
@@ -164,14 +165,6 @@ def lstm_stack_apply(
     bias = [p["b_ih"] + p["b_hh"] for p in layer_params[1:]]
     Hs = [p["w_hh"].shape[1] for p in layer_params]
 
-    def cell(gates, h, c, wt):
-        gates = gates + h @ wt
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
-        g = jnp.tanh(g)
-        c = f * c + i * g
-        return o * jnp.tanh(c), c
-
     def step(carry, inp):
         gx1 = inp[0]
         masks_t = inp[1:]
@@ -183,7 +176,7 @@ def lstm_stack_apply(
                 gates = gx1
             else:
                 gates = feed @ w_ih_t[li - 1] + bias[li - 1]
-            h, c = cell(gates, h, c, w_hh_t[li])
+            h, c = lstm_cell(gates, h, c, w_hh_t[li])
             new_carry.append((h, c))
             feed = h
             if li < n - 1 and dropout_masks is not None:

@@ -331,6 +331,7 @@ def bench_dl_torch() -> float:
             self.l1 = nn.LSTM(1, 128, batch_first=True)
             self.l2 = nn.LSTM(128, 64, batch_first=True)
             self.l3 = nn.LSTM(64, 64, batch_first=True)
+            self.drop = nn.Dropout(0.2)  # inter-layer, as in the reference
             self.att = nn.Linear(64, 1)
             self.bn = nn.BatchNorm1d(64)
             self.fc1 = nn.Linear(64, 32)
@@ -338,8 +339,8 @@ def bench_dl_torch() -> float:
 
         def forward(self, x):
             h, _ = self.l1(x)
-            h, _ = self.l2(h)
-            h, _ = self.l3(h)
+            h, _ = self.l2(self.drop(h))
+            h, _ = self.l3(self.drop(h))
             w = torch.softmax(self.att(h), dim=1)
             pooled = (w * h).sum(dim=1)
             z = torch.relu(self.fc1(self.bn(pooled)))
@@ -435,56 +436,86 @@ METRICS = {
 }
 
 
-def _run_metric(name: str) -> None:
-    """Compute one metric in THIS process and emit its JSON line."""
+def _run_metric(name: str, side: str = "both") -> None:
+    """Compute one metric (or one side of it) in THIS process.
+
+    ``side="device"``/``"host"`` prints an intermediate
+    ``{"metric", "side", "value"}`` line for the parent to assemble;
+    ``"both"`` emits the final metric line directly (manual probes)."""
     from ae_waveforms_tpu.core.runtime import enable_compilation_cache
 
     enable_compilation_cache()
     dev_fn, host_fn, unit, _ = METRICS[name]
-    dev = dev_fn()
-    host = host_fn()
-    _emit(name, dev, unit, host)
+    if side == "both":
+        _emit(name, dev_fn(), unit, host_fn())
+        return
+    fn = dev_fn if side == "device" else host_fn
+    print(json.dumps({"metric": name, "side": side, "value": fn()}), flush=True)
 
 
-def _run_metric_isolated(name: str, retries: int) -> bool:
-    """Run one metric in a subprocess with a hard timeout.
+def _run_side_isolated(name: str, side: str, retries: int):
+    """Run one side of a metric in a subprocess with a hard timeout.
 
     The tunnelled TPU worker has two observed failure modes, and both
     require process isolation: (a) mid-session crashes (UNAVAILABLE) poison
     the in-process JAX client, and (b) relay outages make device calls —
     including ``jax.devices()`` itself — BLOCK for tens of minutes, which
-    no in-process try/except can catch.  Each metric therefore runs in its
+    no in-process try/except can catch.  Each side therefore runs in its
     own subprocess; a hang costs its timeout, not the whole bench run.
-    Timeouts are sized so a cold compile through the relay builder fits
-    (BENCHMARKS.md: 20-50 s per ~25 MB executable on a cache hit, minutes
-    cold).  Returns True once the metric line has been printed."""
+    The base timeout is sized for a warm persistent compilation cache and
+    DOUBLES after the first attempt: a cold compile that outlives the base
+    budget is killed before the cache is written, so the retry must leave
+    room for the same cold compile to finish once.  Returns the measured
+    value, or None when every attempt failed."""
     import subprocess
     import sys
 
-    timeout_s = METRICS[name][3]
+    base = METRICS[name][3]
     for attempt in range(retries + 1):
         if attempt:
             time.sleep(60 * attempt)  # outages last minutes; back off
+        timeout_s = base * (2 if attempt else 1)
         try:
             proc = subprocess.run(
-                [sys.executable, __file__, "--metric", name],
+                [sys.executable, __file__, "--metric", name, "--side", side],
                 capture_output=True, text=True, timeout=timeout_s,
             )
-        except subprocess.TimeoutExpired:
-            print(f"# {name} attempt {attempt}: timed out after {timeout_s}s "
-                  "(relay hang?)", file=sys.stderr)
+        except subprocess.TimeoutExpired as e:
+            if e.stderr:
+                err = e.stderr if isinstance(e.stderr, str) else e.stderr.decode(errors="replace")
+                sys.stderr.write(err[-2000:])
+            print(f"# {name}/{side} attempt {attempt}: timed out after "
+                  f"{timeout_s}s (relay hang?)", file=sys.stderr)
             continue
         sys.stderr.write(proc.stderr)
-        emitted = False
         for line in proc.stdout.splitlines():
-            if line.startswith("{"):
-                print(line, flush=True)
-                emitted = True
-        if emitted:
-            return True
-        print(f"# {name} attempt {attempt}: rc={proc.returncode}, no metric line",
-              file=sys.stderr)
-    return False
+            if not line.startswith('{"metric"'):
+                continue
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("metric") == name and rec.get("side") == side:
+                return float(rec["value"])
+        print(f"# {name}/{side} attempt {attempt}: rc={proc.returncode}, "
+              "no result line", file=sys.stderr)
+    return None
+
+
+def _run_metric_isolated(name: str, retries: int) -> bool:
+    """One metric end-to-end: device side first (the flaky, retried part),
+    then the deterministic CPU baseline once in its own subprocess — so a
+    baseline rerun never discards a completed device measurement, and a
+    device failure skips the baseline's cost entirely.  Returns True once
+    the metric line has been printed."""
+    dev = _run_side_isolated(name, "device", retries)
+    if dev is None:
+        return False
+    host = _run_side_isolated(name, "host", retries=1)
+    if host is None:
+        return False
+    _emit(name, dev, METRICS[name][2], host)
+    return True
 
 
 def main():
@@ -505,7 +536,17 @@ if __name__ == "__main__":
     import sys
 
     if "--metric" in sys.argv:
-        _run_metric(sys.argv[sys.argv.index("--metric") + 1])
+        i = sys.argv.index("--metric")
+        if i + 1 >= len(sys.argv) or sys.argv[i + 1] not in METRICS:
+            sys.exit(f"usage: bench.py --metric {{{','.join(METRICS)}}} "
+                     "[--side device|host]")
+        side = "both"
+        if "--side" in sys.argv:
+            j = sys.argv.index("--side")
+            if j + 1 >= len(sys.argv) or sys.argv[j + 1] not in ("device", "host"):
+                sys.exit("usage: bench.py --metric <name> [--side device|host]")
+            side = sys.argv[j + 1]
+        _run_metric(sys.argv[i + 1], side)
     elif "--tpu-only" in sys.argv:  # kept for older drivers / manual probes
         from ae_waveforms_tpu.core.runtime import enable_compilation_cache
 
