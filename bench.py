@@ -465,11 +465,23 @@ def _run_side_isolated(name: str, side: str, retries: int):
     The base timeout is sized for a warm persistent compilation cache and
     DOUBLES after the first attempt: a cold compile that outlives the base
     budget is killed before the cache is written, so the retry must leave
-    room for the same cold compile to finish once.  Returns the measured
+    room for the same cold compile to finish once.
+
+    The ``host`` side runs with the axon relay env stripped and
+    ``JAX_PLATFORMS=cpu``: the baseline is the reference-equivalent path on
+    THIS MACHINE'S CPU, so it must neither borrow the accelerator for its
+    jitted helpers (extract_case's QC/R-peak kernels would otherwise run on
+    the default backend) nor block on a relay outage.  Returns the measured
     value, or None when every attempt failed."""
+    import os
     import subprocess
     import sys
 
+    env = None
+    if side == "host":
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        for v in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE", "AXON_LOOPBACK_RELAY"):
+            env.pop(v, None)
     base = METRICS[name][3]
     for attempt in range(retries + 1):
         if attempt:
@@ -478,7 +490,7 @@ def _run_side_isolated(name: str, side: str, retries: int):
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--metric", name, "--side", side],
-                capture_output=True, text=True, timeout=timeout_s,
+                capture_output=True, text=True, timeout=timeout_s, env=env,
             )
         except subprocess.TimeoutExpired as e:
             if e.stderr:

@@ -64,6 +64,11 @@ def test_isolated_assembles_both_sides(monkeypatch, capsys):
         ["--metric", name, "--side", "host"],
     ]
     assert calls[0][1]["timeout"] == bench.METRICS[name][3]
+    assert calls[0][1]["env"] is None  # device side: inherit the relay env
+    host_env = calls[1][1]["env"]  # host side: strictly this machine's CPU
+    assert host_env["JAX_PLATFORMS"] == "cpu"
+    for v in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE", "AXON_LOOPBACK_RELAY"):
+        assert v not in host_env
     out = capsys.readouterr()
     rec = json.loads(out.out.strip().splitlines()[-1])
     assert rec == {"metric": name, "value": 100.0, "unit": "samples/s",
