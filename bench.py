@@ -535,13 +535,15 @@ def main():
 
     # headline first: the driver's primary line, worth the longest retry
     ok = _run_metric_isolated("lstm_ae_train_throughput", retries=4)
-    if not ok:
-        raise RuntimeError("TPU headline benchmark failed after retries")
     for name in METRICS:
         if name == "lstm_ae_train_throughput":
             continue
         if not _run_metric_isolated(name, retries=1):
             print(f"# {name} skipped after retries", file=sys.stderr)
+    if not ok:
+        # raised AFTER the other metrics had their chance: a relay outage
+        # that ends mid-run still yields every line it can
+        raise RuntimeError("TPU headline benchmark failed after retries")
 
 
 if __name__ == "__main__":
