@@ -44,17 +44,43 @@ consumed third-party dependency in the reference, not reference code.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ae_waveforms_tpu.ops.gbt_hist_pallas import left_histograms, onehot_int8
+
 __all__ = ["GBTClassifier", "fit_gbt", "predict_margin"]
 
 N_BINS = 64
 LAMBDA = 1.0  # xgboost reg_lambda default
 BASE_SCORE = 0.0  # margin of base_score 0.5
+
+
+def _resolve_hist_impl(hist_impl: Optional[str], fb: int) -> str:
+    """Histogram backend for the tree scan: "pallas" (fused VMEM kernel,
+    ops/gbt_hist_pallas.py) or "xla" (batched one-hot matmul).  ``None``
+    reads AE_GBT_HIST (auto/pallas/xla); "pallas_interpret" forces the
+    interpreter (CPU-backed oracle tests).
+
+    auto picks pallas on TPU when the one-hot width ``fb = F * n_bins`` is
+    narrow enough that the VMEM-resident accumulator leaves room for large
+    row tiles (measured crossover ~1024 on v5e,
+    benchmarks/bench_gbt_pallas.py: at F*n_bins=640 the kernel wins and its
+    lead grows with the fit-chunk size — XLA's A-operand HBM traffic scales
+    with S, the kernel's VMEM build does not
+    (benchmarks/bench_gbt_chunk_scaling.py) — at 2560 the shrunken tiles
+    lose to XLA's matmul).  CPU resolves to xla (the kernel would run
+    interpreted)."""
+    if hist_impl is None:
+        hist_impl = os.environ.get("AE_GBT_HIST", "auto")
+    if hist_impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" and fb <= 1024 else "xla"
+    assert hist_impl in ("pallas", "xla", "pallas_interpret"), hist_impl
+    return hist_impl
 
 
 class GBTEnsemble(NamedTuple):
@@ -95,6 +121,7 @@ def _fit_gbt_margins(
     n_bins: int = N_BINS,
     n_active=None,
     depth_limit=None,
+    hist_impl: Optional[str] = None,
 ):
     """Fit returning ``(ensemble, final_margin)``.  The boosting carry holds
     the margins of EVERY pool row (held-out rows route through the trees
@@ -125,11 +152,17 @@ def _fit_gbt_margins(
         depth_limit = max_depth
     depth_limit = jnp.asarray(depth_limit, jnp.int32)
 
-    # static one-hot bin indicators (n, F * n_bins) via direct iota compare
-    # (cheaper to fuse than one_hot over shifted indices)
-    onehot = (bins[:, :, None] == jnp.arange(n_bins)[None, None, :]).astype(
-        jnp.float32
-    ).reshape(n, F * n_bins)
+    hist_impl = _resolve_hist_impl(hist_impl, F * n_bins)
+    if hist_impl == "xla":
+        # static one-hot bin indicators (n, F * n_bins) via direct iota
+        # compare (cheaper to fuse than one_hot over shifted indices)
+        onehot = (bins[:, :, None] == jnp.arange(n_bins)[None, None, :]).astype(
+            jnp.float32
+        ).reshape(n, F * n_bins)
+    else:
+        # the Pallas kernel streams the one-hot as int8 (built once per
+        # program, level-invariant) and fuses the A-operand construction
+        onehot_i8 = onehot_int8(bins, n_bins)
     bins_f = bins.astype(jnp.float32)  # bin ids <= 256 are exact even as bf16 MXU inputs
     # prefix sums over the bin axis as an MXU matmul (see module docstring)
     tri = jnp.triu(jnp.ones((n_bins, n_bins), jnp.float32))  # tri[i,j]=1 if i<=j
@@ -162,21 +195,33 @@ def _fit_gbt_margins(
         for depth in range(max_depth):
             n_nodes = 2**depth
             node_onehot = jax.nn.one_hot(node_of, n_nodes, dtype=jnp.float32)
-            if depth == 0:
+            half = max(n_nodes // 2, 1)
+            if hist_impl != "xla":
+                # fused VMEM kernel: both matmul operands built on-chip, no
+                # per-level HBM intermediates (ops/gbt_hist_pallas.py); the
+                # sweep's vmap axis folds into the kernel's column axis
+                GH = left_histograms(
+                    onehot_i8, g, h, node_of, half=half, n_bins=n_bins,
+                    interpret=(hist_impl == "pallas_interpret"),
+                )
+            elif depth == 0:
                 # root histograms: one stacked MXU matmul for G and H
                 A = jnp.concatenate([g[:, None], h[:, None]], axis=1)
                 GH = A.T @ onehot
-                Gh = GH[:1].reshape(1, F, n_bins)
-                Hh = GH[1:].reshape(1, F, n_bins)
             else:
                 # sibling subtraction: compute only left children (even node
                 # ids); right = parent - left.  Rows of a non-split parent
                 # all descend left, so the right child is empty and its
                 # histogram is exactly parent - left = 0.
-                half = n_nodes // 2
                 left_sel = node_onehot[:, 0::2]  # (n, half)
                 A = jnp.concatenate([left_sel * g[:, None], left_sel * h[:, None]], axis=1)
                 GH = A.T @ onehot  # (2*half, F*n_bins)
+            if depth == 0:
+                # at the root the "left child" selector node_of == 0 matches
+                # every row, so GH rows are the full G/H histograms
+                Gh = GH[:1].reshape(1, F, n_bins)
+                Hh = GH[1:].reshape(1, F, n_bins)
+            else:
                 Gl = GH[:half].reshape(half, F, n_bins)
                 Hl = GH[half:].reshape(half, F, n_bins)
                 Gh = jnp.stack([Gl, parentG - Gl], axis=1).reshape(n_nodes, F, n_bins)
@@ -246,7 +291,7 @@ def _fit_gbt_margins(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_depth", "n_estimators", "n_bins"),
+    static_argnames=("max_depth", "n_estimators", "n_bins", "hist_impl"),
 )
 def fit_gbt(
     bins: jnp.ndarray,
@@ -263,12 +308,13 @@ def fit_gbt(
     n_bins: int = N_BINS,
     n_active=None,
     depth_limit=None,
+    hist_impl: Optional[str] = None,
 ) -> GBTEnsemble:
     """See ``_fit_gbt_margins`` — this is the ensemble-only jitted entry."""
     return _fit_gbt_margins(
         bins, y, row_weight, rng, max_depth, n_estimators, learning_rate,
         gamma, min_child_weight, subsample, colsample_bytree, n_bins,
-        n_active, depth_limit,
+        n_active, depth_limit, hist_impl,
     )[0]
 
 
@@ -307,7 +353,7 @@ def predict_margin(ens: GBTEnsemble, bins: jnp.ndarray, max_depth: int) -> jnp.n
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_depth", "n_estimators", "n_bins"),
+    static_argnames=("max_depth", "n_estimators", "n_bins", "hist_impl"),
 )
 def fit_gbt_multi(
     bins: jnp.ndarray,  # (n, F) shared pre-binned pool
@@ -322,6 +368,7 @@ def fit_gbt_multi(
     subsample: float = 1.0,
     colsample_bytree: float = 1.0,
     n_bins: int = N_BINS,
+    hist_impl: Optional[str] = None,
 ) -> GBTEnsemble:
     """All seeds of an evaluation sweep fitted in one device program.
 
@@ -333,7 +380,7 @@ def fit_gbt_multi(
         bins, y, w, k,
         max_depth=max_depth, n_estimators=n_estimators, learning_rate=learning_rate,
         gamma=gamma, min_child_weight=min_child_weight, subsample=subsample,
-        colsample_bytree=colsample_bytree, n_bins=n_bins,
+        colsample_bytree=colsample_bytree, n_bins=n_bins, hist_impl=hist_impl,
     )
     return jax.vmap(fit)(row_weights, rngs)
 
@@ -344,7 +391,7 @@ def predict_margin_multi(ens: GBTEnsemble, bins: jnp.ndarray, max_depth: int) ->
     return jax.vmap(lambda e: predict_margin(e, bins, max_depth))(ens)
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth", "n_estimators", "n_bins"))
+@functools.partial(jax.jit, static_argnames=("max_depth", "n_estimators", "n_bins", "hist_impl"))
 def fit_gbt_sweep(
     bins: jnp.ndarray,  # (n, F) shared pre-binned pool
     y: jnp.ndarray,  # (n,)
@@ -360,6 +407,7 @@ def fit_gbt_sweep(
     n_estimators: int,
     n_bins: int = N_BINS,
     depth_limits: jnp.ndarray = None,  # (S,) int32, defaults to max_depth
+    hist_impl: Optional[str] = None,
 ) -> GBTEnsemble:
     """Hyperparameter-sweep fit: every continuous hyperparameter (and, via
     ``depth_limits``, the effective tree depth) is traced, so one compilation
@@ -373,7 +421,7 @@ def fit_gbt_sweep(
             bins, y, w, k,
             max_depth=max_depth, n_estimators=n_estimators, learning_rate=lr,
             gamma=g, min_child_weight=mcw, subsample=sub, colsample_bytree=col,
-            n_bins=n_bins, n_active=n_act, depth_limit=dl,
+            n_bins=n_bins, n_active=n_act, depth_limit=dl, hist_impl=hist_impl,
         )
 
     return jax.vmap(one)(
@@ -382,11 +430,12 @@ def fit_gbt_sweep(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth", "n_estimators", "n_bins"))
+@functools.partial(jax.jit, static_argnames=("max_depth", "n_estimators", "n_bins", "hist_impl"))
 def fit_gbt_sweep_margins(
     bins, y, row_weights, rngs, learning_rates, gammas, min_child_weights,
     subsamples, colsamples, n_actives, max_depth: int, n_estimators: int,
     n_bins: int = N_BINS, depth_limits: jnp.ndarray = None,
+    hist_impl: Optional[str] = None,
 ):
     """``fit_gbt_sweep`` that also returns the (S, n) final pool margins the
     boosting carry already holds (== predict_margin_multi on the same pool),
@@ -399,7 +448,7 @@ def fit_gbt_sweep_margins(
             bins, y, w, k,
             max_depth=max_depth, n_estimators=n_estimators, learning_rate=lr,
             gamma=g, min_child_weight=mcw, subsample=sub, colsample_bytree=col,
-            n_bins=n_bins, n_active=n_act, depth_limit=dl,
+            n_bins=n_bins, n_active=n_act, depth_limit=dl, hist_impl=hist_impl,
         )
 
     return jax.vmap(one)(

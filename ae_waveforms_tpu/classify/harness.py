@@ -97,7 +97,7 @@ def grid_search_cv(
     random_state: int = 1,
     verbose: bool = False,
     vectorized: bool = False,
-    fits_per_call: int = 48,
+    fits_per_call: int = 96,
     backend: str = "jax",
 ) -> Dict:
     """LHS candidates scored by K-fold ROC-AUC; returns the best param dict.
@@ -108,7 +108,12 @@ def grid_search_cv(
     vmapped device programs (every hyperparameter incl. depth is traced),
     turning the 3000-fit sweep into a handful of compiled calls.  Quantile
     bin edges are computed per fold from the training rows only — the same
-    no-leakage discipline as the reference's GridSearchCV + XGBoost."""
+    no-leakage discipline as the reference's GridSearchCV + XGBoost.
+
+    ``fits_per_call=96`` is the measured per-fit optimum on chip
+    (benchmarks/bench_gbt_chunk_scaling.py: 0.049 ms/tree/fit at 96 with the
+    Pallas histogram kernel vs 0.068 at 24 / 0.094 at 48), and bigger chunks
+    also mean fewer dispatches through a congested relay."""
     if n_candidates < 1:
         raise ValueError(f"n_candidates must be >= 1, got {n_candidates}")
     params = lhs_param_dicts(n_candidates, random_state=random_state)
@@ -403,6 +408,10 @@ def _fit_eval_vectorized(
         learning_rate=float(p["learning_rate"]), gamma=float(p["gamma"]),
         min_child_weight=float(p["min_child_weight"]), subsample=float(p["subsample"]),
         colsample_bytree=float(p["colsample_bytree"]),
+        # the fused Pallas histogram kernel is a single-device program (no
+        # GSPMD partitioning rule); the seed-sharded multi-chip path keeps
+        # the XLA histograms, which partition trivially over the seed axis
+        hist_impl="xla" if mesh is not None else None,
     )
     margins = np.asarray(predict_margin_multi(ens, bins_test, int(p["max_depth"])))[:n_seeds]
     return 1.0 / (1.0 + np.exp(-margins))  # (S, n_test)
