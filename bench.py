@@ -10,6 +10,11 @@ stack on this machine).  Both sides report the median of repeated timed
 runs, so per-dispatch relay latency variance cannot swing the number.
 
 Additional lines (best-effort; each skipped on error):
+  conv_ae_train_throughput    the second AE family (the reference's
+                              LeNet5AutoencoderAvgPool, model_classes.py:
+                              51-108) on the same fused train chunk vs its
+                              torch-CPU twin — all-conv MXU work, no
+                              serial scan
   extraction_throughput       the shipped streaming extraction pipeline
                               (prefetch-thread host prep + fused device
                               window kernel: R peaks -> QC -> median beat ->
@@ -46,14 +51,15 @@ BATCH, SEQ, LATENT = 128, 320, 10
 
 # --------------------------- headline: AE training ---------------------------
 
-def bench_tpu(n_steps: int = 100, n_reps: int = 5) -> float:
-    """Times the SHIPPED training path: the fused ``make_train_chunk``
-    program (batch gather + forward + backward + Adam update, ``lax.scan``
-    over ``n_steps`` steps, ONE device dispatch) — exactly the program shape
-    ``train/loop.py`` runs per validation interval.  Per-step relay dispatch
-    latency is amortised ``n_steps``-fold, so the number measures the
-    program, not the tunnel's mood.  Median of ``n_reps`` timed dispatches;
-    the same median-of-N policy applies to the torch baseline."""
+def _bench_train_chunk(model_class: str, n_steps: int, n_reps: int) -> float:
+    """Times the SHIPPED training path for ``model_class``: the fused
+    ``make_train_chunk`` program (batch gather + forward + backward + Adam
+    update, ``lax.scan`` over ``n_steps`` steps, ONE device dispatch) —
+    exactly the program shape ``train/loop.py`` runs per validation
+    interval.  Per-step relay dispatch latency is amortised
+    ``n_steps``-fold, so the number measures the program, not the tunnel's
+    mood.  Median of ``n_reps`` timed dispatches; the same median-of-N
+    policy applies to the torch baselines."""
     import jax
     import jax.numpy as jnp
     import statistics
@@ -64,7 +70,7 @@ def bench_tpu(n_steps: int = 100, n_reps: int = 5) -> float:
     from ae_waveforms_tpu.train.loop import make_train_chunk
     from ae_waveforms_tpu.train.optimizers import make_optimizer
 
-    mdef = MODEL_REGISTRY["LSTMAutoencoder"]
+    mdef = MODEL_REGISTRY[model_class]
     mesh = data_mesh()
     params = mdef.init(jax.random.PRNGKey(0), LATENT)
     optimizer = make_optimizer("adam", 1e-3)
@@ -72,7 +78,8 @@ def bench_tpu(n_steps: int = 100, n_reps: int = 5) -> float:
 
     n_data = 100 * BATCH
     rng_np = np.random.default_rng(0)
-    data_x = jnp.asarray(rng_np.standard_normal((n_data, SEQ, 1)), jnp.float32)
+    shape = (n_data, 1, SEQ) if mdef.channel_first else (n_data, SEQ, 1)
+    data_x = jnp.asarray(rng_np.standard_normal(shape), jnp.float32)
     idx = jnp.asarray(
         rng_np.integers(0, n_data, size=(n_steps, BATCH)).astype(np.int32)
     )
@@ -98,11 +105,25 @@ def bench_tpu(n_steps: int = 100, n_reps: int = 5) -> float:
         times.append(time.perf_counter() - t0)
     med = statistics.median(times)
     print(
-        f"# train chunk: {1e3 * med / n_steps:.3f} ms/step (median of {n_reps}; "
+        f"# {model_class} train chunk: {1e3 * med / n_steps:.3f} ms/step "
+        f"(median of {n_reps}; "
         f"spread {min(times):.3f}-{max(times):.3f} s per {n_steps}-step dispatch)",
         file=sys.stderr,
     )
     return n_steps * BATCH / med
+
+
+def bench_tpu(n_steps: int = 100, n_reps: int = 5) -> float:
+    """Headline: flagship LSTM-AE training throughput on the fused chunk."""
+    return _bench_train_chunk("LSTMAutoencoder", n_steps, n_reps)
+
+
+def bench_conv_tpu(n_steps: int = 100, n_reps: int = 5) -> float:
+    """Second AE family (model_classes.py:51-108): the conv autoencoder on
+    the same fused train chunk.  All of its FLOPs are convolutions — pure
+    MXU work with no serial scan — so this is the model family whose
+    performance profile is most unlike the recurrent flagship."""
+    return _bench_train_chunk("LeNet5AutoencoderAvgPool", n_steps, n_reps)
 
 
 def bench_torch_cpu(n_steps: int = 3, n_reps: int = 3) -> float:
@@ -146,6 +167,65 @@ def bench_torch_cpu(n_steps: int = 3, n_reps: int = 3) -> float:
     opt = torch.optim.Adam(model.parameters(), lr=1e-3)
     crit = nn.MSELoss()
     x = torch.randn(BATCH, SEQ, 1)
+    opt.zero_grad()
+    crit(model(x), x).backward()
+    opt.step()
+    times = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            opt.zero_grad()
+            loss = crit(model(x), x)
+            loss.backward()
+            opt.step()
+        times.append(time.perf_counter() - t0)
+    return n_steps * BATCH / statistics.median(times)
+
+
+def bench_conv_torch_cpu(n_steps: int = 10, n_reps: int = 3) -> float:
+    """Torch-CPU twin of the conv AE (the reference's
+    LeNet5AutoencoderAvgPool, model_classes.py:51-108) trained with the same
+    Adam/MSE step; median-of-``n_reps``, the device side's policy."""
+    import statistics
+
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(max(torch.get_num_threads(), 1))
+
+    class ConvAE(nn.Module):
+        def __init__(self):
+            super().__init__()
+            cv = lambda i, o: nn.Conv1d(i, o, 3, stride=2, padding=1)  # noqa: E731
+            dc = lambda i, o: nn.ConvTranspose1d(  # noqa: E731
+                i, o, 3, stride=2, padding=1, output_padding=1
+            )
+            up = lambda s: nn.Upsample(size=s, mode="linear", align_corners=False)  # noqa: E731
+            self.pool = nn.AvgPool1d(2)
+            self.drop = nn.Dropout(0.2)
+            self.e1, self.e2, self.e3, self.e4 = cv(1, 16), cv(16, 32), cv(32, 64), cv(64, 128)
+            self.e_lat = nn.Conv1d(128, LATENT, 1)
+            self.d_lat = nn.ConvTranspose1d(LATENT, 128, 1)
+            self.u1, self.u2, self.u3, self.u4 = up(3), up(10), up(40), up(160)
+            self.d1, self.d2, self.d3, self.d4 = dc(128, 64), dc(64, 32), dc(32, 16), dc(16, 1)
+
+        def forward(self, x):
+            r = torch.relu
+            h = self.pool(r(self.e1(x)))
+            h = self.pool(self.drop(r(self.e2(h))))
+            h = self.pool(r(self.e3(h)))
+            h = self.pool(r(self.e4(h)))
+            z = self.e_lat(h)
+            h = r(self.d_lat(z))
+            h = r(self.d1(self.u1(h)))
+            h = self.drop(r(self.d2(self.u2(h))))
+            h = r(self.d3(self.u3(h)))
+            return self.d4(self.u4(h))
+
+    model = ConvAE().train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    crit = nn.MSELoss()
+    x = torch.randn(BATCH, 1, SEQ)
     opt.zero_grad()
     crit(model(x), x).backward()
     opt.step()
@@ -435,6 +515,7 @@ def _emit(metric: str, value: float, unit: str, baseline: float) -> None:
 METRICS = {
     # name -> (device_fn, host_fn, unit, subprocess timeout in seconds)
     "lstm_ae_train_throughput": (bench_tpu, bench_torch_cpu, "samples/s", 1500),
+    "conv_ae_train_throughput": (bench_conv_tpu, bench_conv_torch_cpu, "samples/s", 1200),
     "extraction_throughput": (bench_extraction_device, bench_extraction_host, "windows/s", 1500),
     "gbt_grid_candidates_per_s": (bench_gbt_device, bench_gbt_sklearn, "candidates/s", 1200),
     "sigma_eval_throughput": (bench_sigma_device, bench_sigma_host, "sigma-maps/s", 1200),
