@@ -9,6 +9,23 @@ __all__ = ["enable_compilation_cache"]
 _DEFAULT_CACHE = os.path.expanduser("~/.cache/ae_waveforms_tpu/jax")
 
 
+def _host_cpu_fingerprint() -> str:
+    """Short hash of this host's CPU feature flags (empty-input hash when
+    /proc/cpuinfo is unavailable, e.g. non-Linux)."""
+    import hashlib
+
+    flags = b""
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith(b"flags"):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(flags).hexdigest()[:8]
+
+
 def enable_compilation_cache(path: str | None = None) -> str:
     """Turn on JAX's persistent compilation cache so cold CLI processes and
     benchmark runs reuse compiled programs across invocations (single-core
@@ -38,6 +55,13 @@ def enable_compilation_cache(path: str | None = None) -> str:
         backend = jax.default_backend()
     except Exception:
         backend = "unknown"
+    if backend == "cpu":
+        # XLA:CPU executables are AOT-compiled against the compiling
+        # machine's CPU features; loading them on a different host logs
+        # "could lead to execution errors such as SIGILL" (observed when a
+        # shared cache dir crossed machines).  TPU executables don't have
+        # this host dependence, so only the CPU partition is fingerprinted.
+        ctx += "-" + _host_cpu_fingerprint()
     cache_dir = os.path.join(base, f"{backend}-{ctx}")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
