@@ -51,7 +51,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ae_waveforms_tpu.ops.gbt_hist_pallas import left_histograms, onehot_int8
+from ae_waveforms_tpu.ops.gbt_hist_pallas import (
+    hist_vmem_feasible,
+    left_histograms,
+    onehot_int8,
+)
 
 __all__ = ["GBTClassifier", "fit_gbt", "predict_margin"]
 
@@ -60,25 +64,43 @@ LAMBDA = 1.0  # xgboost reg_lambda default
 BASE_SCORE = 0.0  # margin of base_score 0.5
 
 
-def _resolve_hist_impl(hist_impl: Optional[str], fb: int) -> str:
+def _resolve_hist_impl(
+    hist_impl: Optional[str], fb: int, fit_axis: int = 1, max_depth: int = 6
+) -> str:
     """Histogram backend for the tree scan: "pallas" (fused VMEM kernel,
     ops/gbt_hist_pallas.py) or "xla" (batched one-hot matmul).  ``None``
     reads AE_GBT_HIST (auto/pallas/xla); "pallas_interpret" forces the
     interpreter (CPU-backed oracle tests).
 
-    auto picks pallas on TPU when the one-hot width ``fb = F * n_bins`` is
-    narrow enough that the VMEM-resident accumulator leaves room for large
-    row tiles (measured crossover ~1024 on v5e,
+    auto picks pallas on TPU when (a) the one-hot width ``fb = F * n_bins``
+    is narrow enough that the VMEM-resident accumulator leaves room for
+    large row tiles (measured crossover ~1024 on v5e,
     benchmarks/bench_gbt_pallas.py: at F*n_bins=640 the kernel wins and its
     lead grows with the fit-chunk size — XLA's A-operand HBM traffic scales
     with S, the kernel's VMEM build does not
     (benchmarks/bench_gbt_chunk_scaling.py) — at 2560 the shrunken tiles
-    lose to XLA's matmul).  CPU resolves to xla (the kernel would run
-    interpreted)."""
+    lose to XLA's matmul), AND (b) the DEEPEST tree level's accumulator
+    (rows = fit_axis * 2^(max_depth-1)) still fits the kernel's measured
+    VMEM envelope: a depth-10 sweep at 96-fit chunks would need a ~126 MiB
+    accumulator, which Mosaic rejects — such programs route to XLA whole
+    (``hist_vmem_feasible``).  CPU resolves to xla (the kernel would run
+    interpreted).
+
+    Callers that know the vmapped fit-axis size (the sweep/multi entry
+    points) must pass it; resolution happens OUTSIDE the jit boundary so the
+    compilation cache is keyed on the concrete backend — an AE_GBT_HIST
+    change mid-process therefore takes effect on the next call, not only on
+    the next uncompiled shape."""
     if hist_impl is None:
         hist_impl = os.environ.get("AE_GBT_HIST", "auto")
     if hist_impl == "auto":
-        return "pallas" if jax.default_backend() == "tpu" and fb <= 1024 else "xla"
+        worst_half = max(2 ** max(max_depth - 2, 0), 1)
+        ok = (
+            jax.default_backend() == "tpu"
+            and fb <= 1024
+            and hist_vmem_feasible(fit_axis, worst_half, fb)
+        )
+        return "pallas" if ok else "xla"
     assert hist_impl in ("pallas", "xla", "pallas_interpret"), hist_impl
     return hist_impl
 
@@ -152,7 +174,9 @@ def _fit_gbt_margins(
         depth_limit = max_depth
     depth_limit = jnp.asarray(depth_limit, jnp.int32)
 
-    hist_impl = _resolve_hist_impl(hist_impl, F * n_bins)
+    # fallback resolution for direct callers; the public entry points below
+    # resolve BEFORE their jit boundary with the true vmapped fit-axis size
+    hist_impl = _resolve_hist_impl(hist_impl, F * n_bins, 1, max_depth)
     if hist_impl == "xla":
         # static one-hot bin indicators (n, F * n_bins) via direct iota
         # compare (cheaper to fuse than one_hot over shifted indices)
@@ -293,6 +317,18 @@ def _fit_gbt_margins(
     jax.jit,
     static_argnames=("max_depth", "n_estimators", "n_bins", "hist_impl"),
 )
+def _fit_gbt_jit(
+    bins, y, row_weight, rng, max_depth, n_estimators, learning_rate,
+    gamma, min_child_weight, subsample, colsample_bytree, n_bins,
+    n_active, depth_limit, hist_impl,
+) -> GBTEnsemble:
+    return _fit_gbt_margins(
+        bins, y, row_weight, rng, max_depth, n_estimators, learning_rate,
+        gamma, min_child_weight, subsample, colsample_bytree, n_bins,
+        n_active, depth_limit, hist_impl,
+    )[0]
+
+
 def fit_gbt(
     bins: jnp.ndarray,
     y: jnp.ndarray,
@@ -310,12 +346,18 @@ def fit_gbt(
     depth_limit=None,
     hist_impl: Optional[str] = None,
 ) -> GBTEnsemble:
-    """See ``_fit_gbt_margins`` — this is the ensemble-only jitted entry."""
-    return _fit_gbt_margins(
+    """See ``_fit_gbt_margins`` — ensemble-only entry.  The histogram
+    backend (AE_GBT_HIST override + auto policy) resolves here, OUTSIDE the
+    jit boundary, so the compilation cache is keyed on the concrete
+    backend."""
+    hist_impl = _resolve_hist_impl(
+        hist_impl, bins.shape[1] * n_bins, 1, max_depth
+    )
+    return _fit_gbt_jit(
         bins, y, row_weight, rng, max_depth, n_estimators, learning_rate,
         gamma, min_child_weight, subsample, colsample_bytree, n_bins,
         n_active, depth_limit, hist_impl,
-    )[0]
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_depth",))
@@ -355,6 +397,19 @@ def predict_margin(ens: GBTEnsemble, bins: jnp.ndarray, max_depth: int) -> jnp.n
     jax.jit,
     static_argnames=("max_depth", "n_estimators", "n_bins", "hist_impl"),
 )
+def _fit_gbt_multi_jit(
+    bins, y, row_weights, rngs, max_depth, n_estimators, learning_rate,
+    gamma, min_child_weight, subsample, colsample_bytree, n_bins, hist_impl,
+) -> GBTEnsemble:
+    fit = lambda w, k: _fit_gbt_margins(
+        bins, y, w, k,
+        max_depth=max_depth, n_estimators=n_estimators, learning_rate=learning_rate,
+        gamma=gamma, min_child_weight=min_child_weight, subsample=subsample,
+        colsample_bytree=colsample_bytree, n_bins=n_bins, hist_impl=hist_impl,
+    )[0]
+    return jax.vmap(fit)(row_weights, rngs)
+
+
 def fit_gbt_multi(
     bins: jnp.ndarray,  # (n, F) shared pre-binned pool
     y: jnp.ndarray,  # (n,)
@@ -375,14 +430,17 @@ def fit_gbt_multi(
     vmap over (row_weights, rngs): the shared one-hot bin matrix is traced
     once, and the per-level histograms become batched (S, nodes, n) x
     (n, F*bins) matmuls.  Binning uses the shared candidate pool's quantile
-    edges (the per-seed training subsets are row-masks over the pool)."""
-    fit = lambda w, k: fit_gbt(
-        bins, y, w, k,
-        max_depth=max_depth, n_estimators=n_estimators, learning_rate=learning_rate,
-        gamma=gamma, min_child_weight=min_child_weight, subsample=subsample,
-        colsample_bytree=colsample_bytree, n_bins=n_bins, hist_impl=hist_impl,
+    edges (the per-seed training subsets are row-masks over the pool).  The
+    histogram backend resolves here with the true fit-axis size: the fused
+    Pallas kernel's VMEM accumulator scales with S * 2^depth, so deep-tree
+    multi-fits route to XLA (see ``_resolve_hist_impl``)."""
+    hist_impl = _resolve_hist_impl(
+        hist_impl, bins.shape[1] * n_bins, row_weights.shape[0], max_depth
     )
-    return jax.vmap(fit)(row_weights, rngs)
+    return _fit_gbt_multi_jit(
+        bins, y, row_weights, rngs, max_depth, n_estimators, learning_rate,
+        gamma, min_child_weight, subsample, colsample_bytree, n_bins, hist_impl,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_depth",))
@@ -391,7 +449,30 @@ def predict_margin_multi(ens: GBTEnsemble, bins: jnp.ndarray, max_depth: int) ->
     return jax.vmap(lambda e: predict_margin(e, bins, max_depth))(ens)
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth", "n_estimators", "n_bins", "hist_impl"))
+@functools.partial(jax.jit, static_argnames=("max_depth", "n_estimators", "n_bins", "hist_impl", "with_margins"))
+def _fit_gbt_sweep_jit(
+    bins, y, row_weights, rngs, learning_rates, gammas, min_child_weights,
+    subsamples, colsamples, n_actives, max_depth, n_estimators, n_bins,
+    depth_limits, hist_impl, with_margins,
+):
+    if depth_limits is None:
+        depth_limits = jnp.full(row_weights.shape[0], max_depth, jnp.int32)
+
+    def one(w, k, lr, g, mcw, sub, col, n_act, dl):
+        return _fit_gbt_margins(
+            bins, y, w, k,
+            max_depth=max_depth, n_estimators=n_estimators, learning_rate=lr,
+            gamma=g, min_child_weight=mcw, subsample=sub, colsample_bytree=col,
+            n_bins=n_bins, n_active=n_act, depth_limit=dl, hist_impl=hist_impl,
+        )
+
+    out = jax.vmap(one)(
+        row_weights, rngs, learning_rates, gammas, min_child_weights, subsamples, colsamples,
+        n_actives, depth_limits,
+    )
+    return out if with_margins else out[0]
+
+
 def fit_gbt_sweep(
     bins: jnp.ndarray,  # (n, F) shared pre-binned pool
     y: jnp.ndarray,  # (n,)
@@ -412,25 +493,19 @@ def fit_gbt_sweep(
     """Hyperparameter-sweep fit: every continuous hyperparameter (and, via
     ``depth_limits``, the effective tree depth) is traced, so one compilation
     per (depth bucket, tree cap) serves the whole LHS grid — candidates x CV
-    folds all fit in a single vmapped device program."""
-    if depth_limits is None:
-        depth_limits = jnp.full(row_weights.shape[0], max_depth, jnp.int32)
-
-    def one(w, k, lr, g, mcw, sub, col, n_act, dl):
-        return fit_gbt(
-            bins, y, w, k,
-            max_depth=max_depth, n_estimators=n_estimators, learning_rate=lr,
-            gamma=g, min_child_weight=mcw, subsample=sub, colsample_bytree=col,
-            n_bins=n_bins, n_active=n_act, depth_limit=dl, hist_impl=hist_impl,
-        )
-
-    return jax.vmap(one)(
-        row_weights, rngs, learning_rates, gammas, min_child_weights, subsamples, colsamples,
-        n_actives, depth_limits,
+    folds all fit in a single vmapped device program.  The histogram backend
+    resolves here with the true fit-chunk size S (deep-depth buckets route
+    to XLA — the Pallas accumulator would not fit VMEM at S * 2^depth rows)."""
+    hist_impl = _resolve_hist_impl(
+        hist_impl, bins.shape[1] * n_bins, row_weights.shape[0], max_depth
+    )
+    return _fit_gbt_sweep_jit(
+        bins, y, row_weights, rngs, learning_rates, gammas, min_child_weights,
+        subsamples, colsamples, n_actives, max_depth, n_estimators, n_bins,
+        depth_limits, hist_impl, False,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth", "n_estimators", "n_bins", "hist_impl"))
 def fit_gbt_sweep_margins(
     bins, y, row_weights, rngs, learning_rates, gammas, min_child_weights,
     subsamples, colsamples, n_actives, max_depth: int, n_estimators: int,
@@ -440,20 +515,13 @@ def fit_gbt_sweep_margins(
     """``fit_gbt_sweep`` that also returns the (S, n) final pool margins the
     boosting carry already holds (== predict_margin_multi on the same pool),
     so CV scoring needs no second tree traversal."""
-    if depth_limits is None:
-        depth_limits = jnp.full(row_weights.shape[0], max_depth, jnp.int32)
-
-    def one(w, k, lr, g, mcw, sub, col, n_act, dl):
-        return _fit_gbt_margins(
-            bins, y, w, k,
-            max_depth=max_depth, n_estimators=n_estimators, learning_rate=lr,
-            gamma=g, min_child_weight=mcw, subsample=sub, colsample_bytree=col,
-            n_bins=n_bins, n_active=n_act, depth_limit=dl, hist_impl=hist_impl,
-        )
-
-    return jax.vmap(one)(
-        row_weights, rngs, learning_rates, gammas, min_child_weights, subsamples, colsamples,
-        n_actives, depth_limits,
+    hist_impl = _resolve_hist_impl(
+        hist_impl, bins.shape[1] * n_bins, row_weights.shape[0], max_depth
+    )
+    return _fit_gbt_sweep_jit(
+        bins, y, row_weights, rngs, learning_rates, gammas, min_child_weights,
+        subsamples, colsamples, n_actives, max_depth, n_estimators, n_bins,
+        depth_limits, hist_impl, True,
     )
 
 

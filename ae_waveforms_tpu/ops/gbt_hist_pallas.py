@@ -55,11 +55,49 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["left_histograms", "left_histograms_xla", "onehot_int8"]
+__all__ = [
+    "left_histograms", "left_histograms_xla", "onehot_int8",
+    "hist_vmem_feasible",
+]
+
+# Working-set ceiling for one kernel invocation.  Calibrated empirically on
+# the v5e target with `_vmem_total` as the cost model: the shipped sweep
+# shape (S=96, half=16, FB=640 -> 15.65 MB) compiles and wins its benchmark,
+# while the next depth level (half=32 -> ~31 MB) is rejected by Mosaic.  The
+# model is a proxy (it books the accumulator, the E/En/k2 routing constants
+# and one single-buffered tile working set), so the limit is meaningful only
+# together with it — both sides of the calibration used this exact formula.
+VMEM_LIMIT = 16 * 1024 * 1024
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def _vmem_total(S: int, C: int, FB: int, tile: int) -> int:
+    """Modelled VMEM bytes: out accumulator (C, FB) f32 + routing constants
+    E (C, 2S) / En (C, S) / k2 (C, 1) f32 + per-step buffers — X/Nd (C, tile)
+    f32, A (C, tile) bf16, the (tile, FB) int8 one-hot block double-buffered,
+    gh2 (2S, tile) + node (S, tile) f32."""
+    return 4 * C * FB + 4 * C * (3 * S + 1) + tile * (10 * C + 2 * FB + 12 * S)
+
+
+def _tile_for(S: int, C: int, FB: int) -> int:
+    """Largest power-of-two row tile whose working set fits VMEM_LIMIT; 0 if
+    even the minimum 128-row tile does not fit.  Tiles are powers of two so
+    every candidate divides the fixed 512-multiple input padding."""
+    for t in (512, 256, 128):
+        if _vmem_total(S, C, FB, t) <= VMEM_LIMIT:
+            return t
+    return 0
+
+
+def hist_vmem_feasible(fit_axis: int, half: int, fb: int) -> bool:
+    """True if a level with ``half`` left children, vmapped over ``fit_axis``
+    fits, can run the fused kernel.  Feasibility is monotone in ``half``, so
+    callers gate a whole tree program on its deepest level (classify/gbt.py's
+    auto backend policy)."""
+    return _tile_for(int(fit_axis), int(fit_axis) * 2 * int(half), int(fb)) > 0
 
 
 def _expansion_matrices(S: int, half: int):
@@ -108,13 +146,23 @@ def _left_hist_batched(onehot_i8, g, h, node_of, *, half, n_bins,
     S, n = g.shape
     FB = onehot_i8.shape[1]
     C = S * 2 * half
-    # tile sized to a ~12 MB VMEM budget: out accumulator (C, FB) f32 stays
-    # resident; per-step buffers are X/Nd (C, tile) f32, A (C, tile) bf16,
-    # the int8 one-hot tile and the double-buffered input blocks
-    budget = 12 * 1024 * 1024 - 4 * C * FB
-    per_row = 10 * C + 2 * FB + 16 * S
-    tile = max(128, min(512, budget // max(per_row, 1) // 128 * 128))
-    n_pad = _cdiv(n, tile) * tile
+    tile = _tile_for(S, C, FB)
+    if tile == 0:
+        if interpret:
+            tile = 128  # the CPU oracle has no VMEM; any tile is fine
+        else:
+            raise ValueError(
+                f"gbt_hist_pallas: working set for S={S}, half={half}, "
+                f"FB={FB} (accumulator {4 * C * FB >> 20} MiB) exceeds the "
+                f"{VMEM_LIMIT >> 20} MiB VMEM model at every tile size — "
+                "this shape cannot compile on the target (measured on v5e); "
+                "use hist_impl='xla' for deep trees / wide fit chunks "
+                "(classify/gbt.py's auto policy does this selection)"
+            )
+    # inputs pad to a FIXED 512 multiple (every tile divides it): the padded
+    # one-hot is then identical at every tree level, so XLA CSEs/hoists ONE
+    # copy out of the scan body instead of re-padding ~8 MB per level
+    n_pad = _cdiv(n, 512) * 512
     if n_pad != n:
         pad = n_pad - n
         # padded rows carry g = h = 0 (and an all-zero one-hot row) -> zero

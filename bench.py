@@ -134,8 +134,6 @@ def bench_torch_cpu(n_steps: int = 3, n_reps: int = 3) -> float:
     import torch
     import torch.nn as nn
 
-    torch.set_num_threads(max(torch.get_num_threads(), 1))
-
     class AE(nn.Module):
         def __init__(self):
             super().__init__()
@@ -190,8 +188,6 @@ def bench_conv_torch_cpu(n_steps: int = 10, n_reps: int = 3) -> float:
 
     import torch
     import torch.nn as nn
-
-    torch.set_num_threads(max(torch.get_num_threads(), 1))
 
     class ConvAE(nn.Module):
         def __init__(self):

@@ -95,3 +95,58 @@ def test_sweep_margins_pallas_matches_xla():
     np.testing.assert_allclose(
         np.asarray(sweep("xla")), np.asarray(sweep("pallas_interpret")), atol=5e-3
     )
+
+
+def test_vmem_feasibility_model():
+    """The feasibility model must admit the measured-win envelope and reject
+    the shapes the chip rejects (both probed on v5e: S=96/half=16/FB=640
+    compiles at ~15.7 MB modelled, half=32 is refused by Mosaic)."""
+    from ae_waveforms_tpu.ops.gbt_hist_pallas import hist_vmem_feasible
+
+    assert hist_vmem_feasible(96, 16, 640)  # shipped 96-fit depth-6 sweep
+    assert hist_vmem_feasible(1, 256, 640)  # single fit, depth 10
+    assert not hist_vmem_feasible(96, 32, 640)  # depth-7 bucket at 96 fits
+    assert not hist_vmem_feasible(96, 256, 640)  # depth-10 bucket at 96 fits
+    assert not hist_vmem_feasible(25, 256, 640)  # 25-seed eval, depth 10
+
+
+def test_auto_policy_rejects_vmem_infeasible_depths(monkeypatch):
+    """auto on TPU picks pallas only when the DEEPEST level fits the kernel's
+    VMEM envelope; a depth-10 sweep at 96-fit chunks (the production grid
+    search's deep bucket) must route to XLA instead of crashing Mosaic."""
+    from ae_waveforms_tpu.classify.gbt import _resolve_hist_impl
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("AE_GBT_HIST", raising=False)
+    assert _resolve_hist_impl(None, 640, 96, 6) == "pallas"
+    assert _resolve_hist_impl(None, 640, 96, 10) == "xla"
+    assert _resolve_hist_impl(None, 640, 25, 10) == "xla"
+    assert _resolve_hist_impl(None, 640, 1, 10) == "pallas"
+    assert _resolve_hist_impl(None, 2560, 1, 6) == "xla"  # fb crossover
+    # the env override beats auto and is resolved OUTSIDE the jit boundary
+    # (public entry points key their compilation cache on the result)
+    monkeypatch.setenv("AE_GBT_HIST", "xla")
+    assert _resolve_hist_impl(None, 640, 96, 6) == "xla"
+
+
+def test_kernel_raises_clearly_beyond_vmem():
+    """Forcing the kernel onto a VMEM-infeasible shape must raise an
+    actionable ValueError at trace time, not an opaque Mosaic error at
+    compile time."""
+    from ae_waveforms_tpu.ops.gbt_hist_pallas import _left_hist_batched
+
+    S, n, F, n_bins, half = 96, 256, 10, 64, 256
+    rng = np.random.default_rng(0)
+    oh = onehot_int8(
+        jnp.asarray(rng.integers(0, n_bins, (n, F)).astype(np.int32)), n_bins
+    )
+    g = jnp.zeros((S, n), jnp.float32)
+    node = jnp.zeros((S, n), jnp.int32)
+    with pytest.raises(ValueError, match="VMEM"):
+        _left_hist_batched(oh, g, g, node, half=half, n_bins=n_bins)
+    # the interpreter oracle has no VMEM: same shape must still run there
+    out = _left_hist_batched(
+        oh, g, g, node, half=half, n_bins=n_bins,
+        interpret=True, precision="float32",
+    )
+    assert out.shape == (S, 2 * half, F * n_bins)
