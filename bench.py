@@ -42,6 +42,7 @@ is speedup over the reference-equivalent CPU path (higher is better).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -499,13 +500,30 @@ def bench_sigma_host(n_maps: int = 2) -> float:
 
 # --------------------------------- driver -----------------------------------
 
-def _emit(metric: str, value: float, unit: str, baseline: float) -> None:
-    print(json.dumps({
+RESULTS_JSONL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_results.jsonl")
+
+
+def _emit(metric: str, value: float, unit: str, baseline: float) -> dict:
+    """Print one metric line AND append it (with a timestamp) to
+    ``bench_results.jsonl`` — a local ledger the driver artifact can never
+    lose, whatever the tail of stdout ends up being (BENCH_r03 recorded
+    nothing because the last line of the run was a failed metric's note).
+    Returns the record so ``main`` can re-emit the headline as the FINAL
+    line of the run."""
+    rec = {
         "metric": metric,
         "value": round(value, 3),
         "unit": unit,
         "vs_baseline": round(value / baseline, 2) if baseline else None,
-    }), flush=True)
+    }
+    print(json.dumps(rec), flush=True)
+    try:
+        with open(RESULTS_JSONL, "a") as f:
+            f.write(json.dumps(dict(rec, ts=round(time.time(), 1))) + "\n")
+    except OSError:
+        pass
+    return rec
 
 
 METRICS = {
@@ -597,36 +615,59 @@ def _run_side_isolated(name: str, side: str, retries: int):
     return None
 
 
-def _run_metric_isolated(name: str, retries: int) -> bool:
+def _run_metric_isolated(name: str, retries: int):
     """One metric end-to-end: device side first (the flaky, retried part),
     then the deterministic CPU baseline once in its own subprocess — so a
     baseline rerun never discards a completed device measurement, and a
-    device failure skips the baseline's cost entirely.  Returns True once
-    the metric line has been printed."""
+    device failure skips the baseline's cost entirely.  Returns the emitted
+    record, or None when either side failed."""
     dev = _run_side_isolated(name, "device", retries)
     if dev is None:
-        return False
+        return None
     host = _run_side_isolated(name, "host", retries=1)
     if host is None:
-        return False
-    _emit(name, dev, METRICS[name][2], host)
-    return True
+        return None
+    return _emit(name, dev, METRICS[name][2], host)
+
+
+HEADLINE = "lstm_ae_train_throughput"
 
 
 def main():
+    """Output contract with the driver (which parses the TAIL of the run):
+    the headline metric line is the FINAL line written to BOTH stdout and
+    stderr, re-emitted after every other metric has run; metric failures
+    only ever print BEFORE it.  BENCH_r03 recorded `parsed: null` because
+    the headline printed first and a failed metric's note printed last —
+    this ordering makes that impossible.  Every metric line is additionally
+    appended to ``bench_results.jsonl`` (see ``_emit``)."""
     import sys
 
-    # headline first: the driver's primary line, worth the longest retry
-    ok = _run_metric_isolated("lstm_ae_train_throughput", retries=4)
+    # headline first: the driver's primary line, worth the longest retry.
+    # Emitted immediately (so a later crash still leaves the line) and
+    # re-emitted at the very end as the tail line the driver parses.
+    headline_rec = _run_metric_isolated(HEADLINE, retries=4)
+    last_rec = headline_rec
     for name in METRICS:
-        if name == "lstm_ae_train_throughput":
+        if name == HEADLINE:
             continue
-        if not _run_metric_isolated(name, retries=1):
+        rec = _run_metric_isolated(name, retries=1)
+        if rec is None:
             print(f"# {name} skipped after retries", file=sys.stderr)
-    if not ok:
-        # raised AFTER the other metrics had their chance: a relay outage
-        # that ends mid-run still yields every line it can
-        raise RuntimeError("TPU headline benchmark failed after retries")
+        else:
+            last_rec = rec if headline_rec is None else last_rec
+    final = headline_rec or last_rec  # degrade to any successful metric
+    if final is None:
+        raise RuntimeError("TPU benchmarks failed after retries: no metric "
+                           "produced a value")
+    line = json.dumps(final)
+    print(line, flush=True)
+    print(line, file=sys.stderr, flush=True)
+    if headline_rec is None:
+        # non-zero exit AFTER the tail line: the driver still gets the best
+        # available record even on a headline outage
+        sys.exit(f"# headline {HEADLINE} failed after retries; tail line "
+                 "degraded to a non-headline metric")
 
 
 if __name__ == "__main__":
