@@ -9,31 +9,49 @@ __all__ = ["enable_compilation_cache"]
 _DEFAULT_CACHE = os.path.expanduser("~/.cache/ae_waveforms_tpu/jax")
 
 
-def _host_cpu_fingerprint() -> str:
-    """Short hash of this host's CPU feature flags (empty-input hash when
-    /proc/cpuinfo is unavailable, e.g. non-Linux)."""
+def _host_cpu_fingerprint(cpuinfo: str = "/proc/cpuinfo") -> str:
+    """Short hash of this host's CPU feature flags.
+
+    x86 /proc/cpuinfo spells the feature line "flags"; aarch64 spells it
+    "Features" — matching only the former would hash every ARM host to the
+    same empty input and let incompatible AOT XLA:CPU executables cross
+    machines (the SIGILL hazard this key exists to prevent).  When neither
+    line exists (non-Linux), fall back to the platform identity."""
     import hashlib
 
     flags = b""
     try:
-        with open("/proc/cpuinfo", "rb") as f:
+        with open(cpuinfo, "rb") as f:
             for line in f:
-                if line.startswith(b"flags"):
+                if line.startswith((b"flags", b"Features")):
                     flags = line
                     break
     except OSError:
         pass
+    if not flags:
+        import platform
+
+        flags = f"{platform.machine()}|{platform.processor()}".encode()
     return hashlib.sha1(flags).hexdigest()[:8]
 
 
-def enable_compilation_cache(path: str | None = None) -> str:
+def enable_compilation_cache(path: str | None = None) -> str | None:
     """Turn on JAX's persistent compilation cache so cold CLI processes and
     benchmark runs reuse compiled programs across invocations (single-core
     hosts pay minutes per cold compile otherwise).
 
     The cache is partitioned per backend and per compile context (the axon
     relay compiles XLA:CPU with different target-feature flags than a local
-    build; mixing the entries triggers machine-feature mismatch warnings)."""
+    build; mixing the entries triggers machine-feature mismatch warnings).
+
+    Relay-compiled XLA:CPU executables are NOT persisted at all (returns
+    None): the remote builder AOT-compiles them against ITS machine's CPU
+    features, which vary across relay hosts and sessions, so no local
+    partition key can make a reload safe — reloading logged "machine type
+    ... could lead to execution errors such as SIGILL" throughout the
+    round-3 multichip dryrun even with the local-host fingerprint in the
+    key.  The dryrun pays a cold compile per run instead of gambling on a
+    feature mismatch."""
     import jax
 
     import hashlib
@@ -56,6 +74,9 @@ def enable_compilation_cache(path: str | None = None) -> str:
     except Exception:
         backend = "unknown"
     if backend == "cpu":
+        if relay:
+            # see docstring: cross-machine AOT loads are never safe here
+            return None
         # XLA:CPU executables are AOT-compiled against the compiling
         # machine's CPU features; loading them on a different host logs
         # "could lead to execution errors such as SIGILL" (observed when a

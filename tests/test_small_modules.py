@@ -202,3 +202,47 @@ def test_lstm_stack_apply_matches_per_layer_scans():
     hs_st, h_st = lstm_stack_apply(layers, x, masks)
     np.testing.assert_allclose(np.asarray(hs_st), np.asarray(hs_seq), atol=1e-5)
     np.testing.assert_allclose(np.asarray(h_st), np.asarray(h), atol=1e-5)
+
+
+def test_compilation_cache_partitioning(tmp_path, monkeypatch):
+    """Relay-compiled XLA:CPU executables must never be persisted (the
+    remote builder targets ITS host's CPU features — reloading them here is
+    the observed 'machine type ... SIGILL' hazard in the multichip dryrun);
+    local CPU compiles keep a host-fingerprinted partition."""
+    from ae_waveforms_tpu.core import runtime
+
+    relay_vars = ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+                  "AXON_LOOPBACK_RELAY")
+    for v in relay_vars:
+        monkeypatch.delenv(v, raising=False)
+    local_dir = runtime.enable_compilation_cache(str(tmp_path))
+    assert local_dir is not None and local_dir.startswith(str(tmp_path))
+    assert "local" in os.path.basename(local_dir)
+    assert runtime._host_cpu_fingerprint() in os.path.basename(local_dir)
+
+    monkeypatch.setenv("PALLAS_AXON_REMOTE_COMPILE", "1")
+    assert runtime.enable_compilation_cache(str(tmp_path)) is None
+    # the local partition was not clobbered and jax still points at it
+    assert jax.config.jax_compilation_cache_dir == local_dir
+
+
+def test_host_cpu_fingerprint_feature_lines(tmp_path):
+    """x86 'flags' and aarch64 'Features' lines both key the fingerprint;
+    distinct feature sets must hash differently, and a file with neither
+    line falls back to the (non-empty) platform identity."""
+    from ae_waveforms_tpu.core.runtime import _host_cpu_fingerprint
+
+    x86 = tmp_path / "x86"
+    x86.write_text("processor: 0\nflags\t\t: fpu avx2 avx512f\n")
+    arm = tmp_path / "arm"
+    arm.write_text("processor: 0\nFeatures\t: fp asimd sve\n")
+    arm2 = tmp_path / "arm2"
+    arm2.write_text("processor: 0\nFeatures\t: fp asimd\n")
+    bare = tmp_path / "bare"
+    bare.write_text("processor: 0\n")
+
+    fps = {p.name: _host_cpu_fingerprint(str(p)) for p in (x86, arm, arm2, bare)}
+    assert all(len(f) == 8 for f in fps.values())
+    assert len(set(fps.values())) == 4  # arm != arm2: ARM hosts don't collide
+    assert fps["bare"] == _host_cpu_fingerprint(str(bare))  # deterministic
+    assert _host_cpu_fingerprint(str(tmp_path / "missing")) == fps["bare"]
