@@ -1,0 +1,140 @@
+"""Multi-configuration AE training (train/multi.py): the vmapped S-config
+block must reproduce sequential single-config runs exactly (vmap is a
+batching transform, not a semantic one), match main_train's own losses for
+the identical fixed split, shard over the mesh without changing results,
+and honour the lr-multiplier sweep axis.
+
+Reference workload this capability serves: the trad-vs-AE analysis consumes
+two separately trained AEs (analysis_performance_traditional_vs_ae.py:
+226-230) and the seed studies train one model per process
+(main_ae.py trains a single configuration per run)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ae_waveforms_tpu.core.config import TrainConfig
+from ae_waveforms_tpu.core.schema import save_arrays
+from ae_waveforms_tpu.parallel.mesh import data_mesh
+from ae_waveforms_tpu.train.multi import train_ae_multi
+
+from test_train import _toy_arrays
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("multi")
+    arrays = _toy_arrays(n=240, n_cases=20)
+    dataset_dir = str(tmp / "data")
+    save_arrays(arrays, dataset_dir)
+    cfg = TrainConfig(
+        dataset_dir=dataset_dir,
+        results_dir=str(tmp / "results"),
+        model_class="LSTMAutoencoder",
+        latent_size=3,
+        batch_size=16,
+        epochs=2,
+        validation_interval=3,
+        split_size_val=0.25,
+        split_size_test=0.25,
+        lr=3e-3,
+        seed=1,
+        plotting=False,
+    )
+    return cfg, arrays
+
+
+def test_multi_matches_singles(setup):
+    """S=3 vmapped == three S=1 runs, config by config (f32 tolerance:
+    vmap changes XLA fusion order, not math)."""
+    cfg, arrays = setup
+    multi = train_ae_multi(cfg, seeds=[3, 4, 5], arrays=arrays, max_steps=12)
+    assert multi.train_losses.shape[1] == 3
+    assert np.all(np.isfinite(multi.train_losses))
+    for i, seed in enumerate([3, 4, 5]):
+        single = train_ae_multi(cfg, seeds=[seed], arrays=arrays, max_steps=12)
+        np.testing.assert_allclose(
+            single.train_losses[:, 0], multi.train_losses[:, i], rtol=2e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            single.val_losses[:, 0], multi.val_losses[:, i], rtol=2e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(single.best_val[0], multi.best_val[i], rtol=2e-5)
+
+
+def test_multi_matches_main_train(setup, tmp_path):
+    """With train_shuffle=False the S=1 multi path replays main_train's
+    exact rng chain (PRNGKey(seed) -> split -> k_init; per-step dropout-key
+    splits) and batch order, so its validation losses must match the
+    sequential trainer's CSV row for row (cross-implementation parity, not
+    just vmap parity)."""
+    import csv
+
+    from ae_waveforms_tpu.train.loop import main_train
+
+    cfg, arrays = setup
+    cfg = cfg.replace(train_shuffle=False, results_dir=str(tmp_path / "seq"))
+    results_dir = main_train(cfg, arrays=arrays, max_steps=12)
+    with open(os.path.join(results_dir, "training_log_validation.csv")) as f:
+        seq_val = np.asarray([float(r[4]) for r in csv.reader(f)])
+
+    multi = train_ae_multi(cfg, seeds=[cfg.seed], arrays=arrays, max_steps=12)
+    got = multi.val_losses[: len(seq_val), 0]
+    np.testing.assert_allclose(got, seq_val, rtol=2e-5, atol=1e-6)
+
+
+def test_multi_mesh_matches_unsharded(setup):
+    """Sharding the config axis over the 8-device mesh (with seed padding
+    to a multiple of the data axis) must not change any per-config result."""
+    cfg, arrays = setup
+    seeds = [3, 4, 5, 6]
+    plain = train_ae_multi(cfg, seeds=seeds, arrays=arrays, max_steps=6)
+    sharded = train_ae_multi(
+        cfg, seeds=seeds, arrays=arrays, max_steps=6, mesh=data_mesh(8)
+    )
+    assert sharded.train_losses.shape[1] == len(seeds)  # padding trimmed
+    np.testing.assert_allclose(
+        sharded.train_losses, plain.train_losses, rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(sharded.best_val, plain.best_val, rtol=2e-5)
+    # stacked best params trim back to the real configs
+    leaf = next(iter(jax_leaves(sharded.best_params)))
+    assert leaf.shape[0] == len(seeds)
+
+
+def jax_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
+
+def test_multi_lr_multiplier_axis(setup):
+    """The optional lr-multiplier axis is a real second sweep dimension:
+    multiplier 1.0 reproduces the default, a different multiplier diverges."""
+    cfg, arrays = setup
+    base = train_ae_multi(cfg, seeds=[3, 3], arrays=arrays, max_steps=6,
+                          lr_multipliers=[1.0, 0.25])
+    np.testing.assert_allclose(
+        base.train_losses[0, 0], base.train_losses[0, 1], rtol=1e-6
+    )  # identical before the first update takes effect
+    assert not np.allclose(base.train_losses[-1, 0], base.train_losses[-1, 1])
+
+    default = train_ae_multi(cfg, seeds=[3], arrays=arrays, max_steps=6)
+    np.testing.assert_allclose(
+        default.train_losses[:, 0], base.train_losses[:, 0], rtol=2e-5, atol=1e-6
+    )
+
+
+def test_multi_early_stop_freezes_best(setup):
+    """A stopped configuration's best snapshot and counters freeze while
+    other configs continue (the classify/dl.py carry pattern)."""
+    cfg, arrays = setup
+    cfg = cfg.replace(early_stopping_patience=1, epochs=3)
+    res = train_ae_multi(cfg, seeds=[3, 4, 5], arrays=arrays)
+    assert res.ever_improved.all()
+    assert np.all(np.isfinite(res.best_val))
+    # params_for returns per-config trees with the leading axis stripped
+    p0 = res.params_for(0)
+    leaf = jax_leaves(p0)[0]
+    assert leaf.ndim == jax_leaves(res.best_params)[0].ndim - 1
