@@ -33,6 +33,19 @@ __all__ = ["train_classifier", "dl_size_seed_sweep", "DL_SIZES"]
 DL_SIZES = [100, 250, 500, 750, 1000, 2000, 3000, 4000, 6000, 10000, 11500]
 NUM_EPOCHS = 153
 
+# Per-device seed-axis cap for the vmapped trainer on a real TPU, measured
+# on the v5e bench shape (n=3200, batch 512, T=320, remat_chunk=20):
+#   - 18 seeds execute, 22 (and 25) CRASH the TPU worker ("kernel fault"),
+#     and a crashed relay worker is unrecoverable in-process — every later
+#     dispatch fails UNAVAILABLE (tested: 3 retries over 30 s all fail).
+#     Recovery-by-retry is therefore impossible; the split must happen
+#     BEFORE dispatch.
+#   - warm throughput peaks well below the cliff anyway: 5.5 (S=6),
+#     6.6 (S=8), 6.0 (S=12) model-epochs/s, sharply worse at 16+ — the
+#     wide programs thrash HBM before they kill the worker.
+# 8 is both the measured optimum and a 2x-plus margin under the cliff.
+DL_TPU_SEED_CHUNK = 8
+
 
 def _multistep_lr(epoch: int, base: float = 1e-4) -> float:
     return base * (0.5 ** ((epoch >= 50) + (epoch >= 100)))
@@ -246,6 +259,7 @@ def train_classifier_multi(
     mesh=None,
     return_stacked: bool = False,
     remat_chunk: Optional[int] = None,
+    max_seed_chunk: Optional[int] = None,
 ):
     """All seeds trained simultaneously, a whole BLOCK of epochs per device
     dispatch — the seed vmap amortises the LSTM scan's sequential step
@@ -271,10 +285,45 @@ def train_classifier_multi(
     test scoring in ``dl_size_seed_sweep``) skip a device->host->device
     round trip of every model.
     ``remat_chunk``: chunked LSTM rematerialisation (see ``_epoch_core``) —
-    lets seed_chunk=25 fit where the plain path is HBM-bound at ~5."""
+    lets seed_chunk=25 fit where the plain path is HBM-bound at ~5.
+    ``max_seed_chunk``: per-device cap on the vmapped seed axis — wider
+    calls split into balanced sequential groups whose per-seed streams are
+    unchanged (results identical to the unsplit call).  ``None`` resolves to
+    the measured ``DL_TPU_SEED_CHUNK`` on a real TPU (programs past ~20
+    seeds at the production shape CRASH the worker unrecoverably — see the
+    constant's calibration note) and to no cap elsewhere; pass 0 to disable
+    the cap explicitly."""
     epoch_block_multi = _get_epoch_block_multi(remat_chunk)
     seeds = list(seeds)
     S_real = len(seeds)
+
+    if max_seed_chunk is None:
+        max_seed_chunk = (
+            DL_TPU_SEED_CHUNK if jax.default_backend() == "tpu" else 0
+        )
+    cap = max_seed_chunk * (mesh.shape["data"] if mesh is not None else 1)
+    if cap and S_real > cap:
+        n_groups = math.ceil(S_real / cap)
+        base, extra = divmod(S_real, n_groups)
+        sizes = [base + 1] * extra + [base] * (n_groups - extra)
+        parts, o = [], 0
+        for sz in sizes:
+            sl = slice(o, o + sz)
+            o += sz
+            parts.append(train_classifier_multi(
+                Xs[sl], ys[sl], Xvs[sl], yvs[sl], seeds[sl],
+                num_epochs=num_epochs, batch_size=batch_size,
+                patience=patience, min_delta=min_delta, mesh=mesh,
+                return_stacked=return_stacked, remat_chunk=remat_chunk,
+                max_seed_chunk=max_seed_chunk,
+            ))
+        if return_stacked:
+            cat = lambda *xs: jnp.concatenate(xs)  # noqa: E731
+            return (
+                jax.tree_util.tree_map(cat, *[p[0] for p in parts]),
+                jax.tree_util.tree_map(cat, *[p[1] for p in parts]),
+            )
+        return [m for p in parts for m in p]
     if mesh is not None:
         n_data = mesh.shape["data"]
         pad = (-S_real) % n_data

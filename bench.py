@@ -378,10 +378,12 @@ def _dl_task():
 
 def bench_dl_device() -> float:
     """Model-epochs/s of the SHIPPED vectorized DL-classifier path
-    (``train_classifier_multi``): all 25 seeds vmapped, a 17-epoch block
-    fused into one dispatch, chunked-remat LSTM backward so the whole seed
-    axis fits in HBM — the program `classify/dl.py:dl_size_seed_sweep`
-    runs per sweep size."""
+    (``train_classifier_multi``): 25 seeds auto-split into balanced vmapped
+    groups of <= DL_TPU_SEED_CHUNK (the measured throughput optimum — wider
+    programs thrash HBM and past ~20 seeds CRASH the TPU worker
+    unrecoverably, the BENCH_r03 failure), each group a 17-epoch block fused
+    into one dispatch with chunked-remat LSTM backward — the program
+    `classify/dl.py:dl_size_seed_sweep` runs per sweep size."""
     from ae_waveforms_tpu.classify.dl import train_classifier_multi
 
     Xs, ys, Xvs, yvs = _dl_task()
@@ -504,19 +506,48 @@ RESULTS_JSONL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_results.jsonl")
 
 
+def _metric_flops_per_unit(metric: str):
+    """Analytic matmul/conv FLOPs per metric unit (ae_waveforms_tpu.core.
+    flops — pure Python, usable in the parent process), or None for the
+    metrics whose work is not MXU-shaped (extraction, sigma search)."""
+    from ae_waveforms_tpu.core import flops as fl
+
+    if metric == "lstm_ae_train_throughput":
+        return fl.lstm_ae_train_flops_per_sample(SEQ, LATENT)
+    if metric == "conv_ae_train_throughput":
+        return fl.conv_ae_train_flops_per_sample(LATENT)
+    if metric == "dl_classifier_model_epochs_per_s":
+        return fl.dl_classifier_train_flops_per_model_epoch(
+            DL_TRAIN_N, DL_VAL_N, SEQ
+        )
+    if metric == "gbt_grid_candidates_per_s":
+        # one candidate = 3 CV-fold fits over the full pre-binned pool
+        return 3 * fl.gbt_hist_flops_per_fit(GBT_N, GBT_F, 64, GBT_DEPTH, GBT_TREES)
+    return None
+
+
 def _emit(metric: str, value: float, unit: str, baseline: float) -> dict:
     """Print one metric line AND append it (with a timestamp) to
     ``bench_results.jsonl`` — a local ledger the driver artifact can never
     lose, whatever the tail of stdout ends up being (BENCH_r03 recorded
     nothing because the last line of the run was a failed metric's note).
     Returns the record so ``main`` can re-emit the headline as the FINAL
-    line of the run."""
+    line of the run.
+
+    ``mfu`` (when the metric is MXU-shaped): achieved matmul/conv FLOPs
+    over the bf16 MXU peak of the target generation — the roofline column
+    that makes "latency-bound" vs "MXU-bound" quantitative."""
     rec = {
         "metric": metric,
         "value": round(value, 3),
         "unit": unit,
         "vs_baseline": round(value / baseline, 2) if baseline else None,
     }
+    fpu = _metric_flops_per_unit(metric)
+    if fpu is not None:
+        from ae_waveforms_tpu.core.flops import mfu as _mfu
+
+        rec["mfu"] = round(_mfu(value * fpu), 6)
     print(json.dumps(rec), flush=True)
     try:
         with open(RESULTS_JSONL, "a") as f:

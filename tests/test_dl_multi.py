@@ -259,3 +259,40 @@ def test_train_classifier_multi_remat_matches_plain():
             lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4),
             plain[s][0], remat[s][0],
         )
+
+def test_max_seed_chunk_split_is_exact():
+    """The per-device seed-axis cap (the TPU crash guard, classify/dl.py
+    DL_TPU_SEED_CHUNK) splits a wide call into balanced sequential groups;
+    per-seed rng streams are keyed by seed, so results must match the
+    unsplit call to f32 tolerance (the vmap width changes XLA's reduction
+    scheduling, not the math), for both return forms."""
+    import jax
+    from ae_waveforms_tpu.classify.dl import train_classifier_multi
+
+    rng = np.random.default_rng(2)
+    S, n, m = 5, 32, 12
+    Xs = rng.standard_normal((S, n, 64, 1)).astype(np.float32)
+    ys = (rng.uniform(size=(S, n)) > 0.5).astype(np.float32)
+    Xvs = rng.standard_normal((S, m, 64, 1)).astype(np.float32)
+    yvs = np.tile([0.0, 1.0], (S, m // 2))
+    kw = dict(seeds=[0, 1, 2, 3, 4], num_epochs=2, batch_size=16)
+
+    whole = train_classifier_multi(Xs, ys, Xvs, yvs, **kw)
+    split = train_classifier_multi(Xs, ys, Xvs, yvs, max_seed_chunk=2, **kw)
+    assert len(split) == S
+    close = lambda a, b: np.testing.assert_allclose(  # noqa: E731
+        np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+    for (pw, sw), (ps, ss) in zip(whole, split):
+        for a, b in zip(jax.tree_util.tree_leaves(pw), jax.tree_util.tree_leaves(ps)):
+            close(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(sw), jax.tree_util.tree_leaves(ss)):
+            close(a, b)
+
+    stacked_p, stacked_s = train_classifier_multi(
+        Xs, ys, Xvs, yvs, max_seed_chunk=2, return_stacked=True, **kw
+    )
+    assert jax.tree_util.tree_leaves(stacked_p)[0].shape[0] == S
+    for i, (pw, _sw) in enumerate(whole):
+        got = jax.tree_util.tree_map(lambda a: np.asarray(a[i]), stacked_p)
+        for a, b in zip(jax.tree_util.tree_leaves(pw), jax.tree_util.tree_leaves(got)):
+            close(a, b)
