@@ -349,7 +349,14 @@ def fit_gbt(
     """See ``_fit_gbt_margins`` — ensemble-only entry.  The histogram
     backend (AE_GBT_HIST override + auto policy) resolves here, OUTSIDE the
     jit boundary, so the compilation cache is keyed on the concrete
-    backend."""
+    backend.
+
+    Do NOT wrap this (or ``_fit_gbt_margins``) in an external ``jax.vmap``:
+    resolution here sees fit_axis=1, so the auto policy can pick the pallas
+    kernel for a shape whose true vmapped accumulator is VMEM-infeasible —
+    that surfaces as the kernel's trace-time ValueError rather than an
+    auto-route to XLA.  Use ``fit_gbt_multi`` / ``fit_gbt_sweep``, whose
+    resolution knows the real fit-axis size."""
     hist_impl = _resolve_hist_impl(
         hist_impl, bins.shape[1] * n_bins, 1, max_depth
     )

@@ -47,11 +47,19 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     Relay-compiled XLA:CPU executables are NOT persisted at all (returns
     None): the remote builder AOT-compiles them against ITS machine's CPU
     features, which vary across relay hosts and sessions, so no local
-    partition key can make a reload safe — reloading logged "machine type
-    ... could lead to execution errors such as SIGILL" throughout the
-    round-3 multichip dryrun even with the local-host fingerprint in the
-    key.  The dryrun pays a cold compile per run instead of gambling on a
-    feature mismatch."""
+    partition key can make a reload safe.  The dryrun pays a cold compile
+    per run instead of gambling on a feature mismatch.
+
+    Note on the "machine type ... SIGILL" load warnings (measured, round
+    4): XLA:CPU injects the LLVM tuning preferences +prefer-no-scatter /
+    +prefer-no-gather into every x86 compile's target-feature list, but the
+    load-time host detector never reports them — so reloading an executable
+    compiled ON THIS VERY HOST still logs exactly those two "not supported
+    on the host machine ... SIGILL" lines (reproduced with a fresh cache,
+    one local compile, one same-host reload).  Those two lines are a false
+    positive of XLA's own check, not a cross-machine load; a reload naming
+    any OTHER missing feature is real and dangerous, which is what the
+    fingerprint partition key prevents."""
     import jax
 
     import hashlib

@@ -74,30 +74,44 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _vmem_total(S: int, C: int, FB: int, tile: int) -> int:
+def _vmem_total(S: int, C: int, FB: int, tile: int,
+                precision: str = "bfloat16") -> int:
     """Modelled VMEM bytes: out accumulator (C, FB) f32 + routing constants
     E (C, 2S) / En (C, S) / k2 (C, 1) f32 + per-step buffers — X/Nd (C, tile)
-    f32, A (C, tile) bf16, the (tile, FB) int8 one-hot block double-buffered,
+    f32, A (C, tile) in the dot dtype (bf16 default, f32 when
+    ``precision="float32"`` — a forced-f32 on-chip call books 2 more bytes
+    per A element), the (tile, FB) int8 one-hot block double-buffered,
     gh2 (2S, tile) + node (S, tile) f32."""
-    return 4 * C * FB + 4 * C * (3 * S + 1) + tile * (10 * C + 2 * FB + 12 * S)
+    a_bytes = 2 if precision == "bfloat16" else 4
+    return (4 * C * FB + 4 * C * (3 * S + 1)
+            + tile * ((8 + a_bytes) * C + 2 * FB + 12 * S))
 
 
-def _tile_for(S: int, C: int, FB: int) -> int:
+def _tile_for(S: int, C: int, FB: int, precision: str = "bfloat16") -> int:
     """Largest power-of-two row tile whose working set fits VMEM_LIMIT; 0 if
     even the minimum 128-row tile does not fit.  Tiles are powers of two so
     every candidate divides the fixed 512-multiple input padding."""
     for t in (512, 256, 128):
-        if _vmem_total(S, C, FB, t) <= VMEM_LIMIT:
+        if _vmem_total(S, C, FB, t, precision) <= VMEM_LIMIT:
             return t
     return 0
 
 
-def hist_vmem_feasible(fit_axis: int, half: int, fb: int) -> bool:
+def hist_vmem_feasible(fit_axis: int, half: int, fb: int,
+                       precision: str = "bfloat16") -> bool:
     """True if a level with ``half`` left children, vmapped over ``fit_axis``
     fits, can run the fused kernel.  Feasibility is monotone in ``half``, so
     callers gate a whole tree program on its deepest level (classify/gbt.py's
-    auto backend policy)."""
-    return _tile_for(int(fit_axis), int(fit_axis) * 2 * int(half), int(fb)) > 0
+    auto backend policy).
+
+    The VMEM_LIMIT/_vmem_total pair is calibrated on the v5e target only
+    (the one generation measured: S=96/half=16 compiles, half=32 rejected);
+    other TPU generations have different VMEM envelopes, so a forced-pallas
+    call on them may be rejected by Mosaic despite this gate passing — the
+    auto policy treats the gate as necessary, not sufficient, and every
+    rejection surfaces as an actionable compile-time error."""
+    return _tile_for(int(fit_axis), int(fit_axis) * 2 * int(half), int(fb),
+                     precision) > 0
 
 
 def _expansion_matrices(S: int, half: int):
@@ -146,7 +160,7 @@ def _left_hist_batched(onehot_i8, g, h, node_of, *, half, n_bins,
     S, n = g.shape
     FB = onehot_i8.shape[1]
     C = S * 2 * half
-    tile = _tile_for(S, C, FB)
+    tile = _tile_for(S, C, FB, precision)
     if tile == 0:
         if interpret:
             tile = 128  # the CPU oracle has no VMEM; any tile is fine
