@@ -13,6 +13,7 @@ every hot loop over the (n_windows, 10000) batch.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 from typing import Callable, List, Optional, Sequence
 
@@ -37,6 +38,13 @@ __all__ = ["CaseResult", "extract_case", "extract_cases", "preprocess_record", "
 #: when AE_EXTRACT_PROFILE=1 (zero overhead otherwise).  Keys: filter,
 #: segment, dispatch, pull.  Read/reset by benchmarks.
 STAGE_T: dict = {}
+
+#: Congestion-replay hook (bench/test only — benchmarks/
+#: bench_congestion_replay.py): maps a chunk's dispatch sequence number to
+#: an artificial dispatch->result latency in seconds; the streaming
+#: pipeline's resolve then blocks until that point, simulating a recorded
+#: tunnel-congestion trace.  None (the default) is zero-overhead.
+_RESOLVE_LATENCY_HOOK: Optional[Callable[[int], float]] = None
 
 class _stage:
     """Context timer accumulating into STAGE_T[name] when profiling.
@@ -491,6 +499,7 @@ def extract_cases_batched(
     windows_per_batch: int = 512,
     mesh=None,
     inflight_depth: int = 2,
+    max_inflight_depth: int = 8,
 ) -> List[CaseResult]:
     """Cross-case batched pipeline: host preprocessing/segmentation per
     record, then the per-window kernels (R peaks, QC, median beats,
@@ -498,14 +507,16 @@ def extract_cases_batched(
 
     The device engine runs as a streaming pipeline (see
     ``_extract_cases_batched_device``) and accepts a ``mesh`` for multi-chip
-    SPMD dispatch plus an ``inflight_depth`` (un-pulled chunks kept in
-    flight — deeper pipelining rides out per-dispatch latency spikes);
+    SPMD dispatch plus an adaptive in-flight window (``inflight_depth`` is
+    the floor, ``max_inflight_depth`` the cap — the queue deepens when
+    per-dispatch latency spikes are detected, riding out tunnel congestion);
     host engines pool windows per accumulated case group (``mesh`` does
     not apply — their hot loop is the host delineator)."""
     if cfg.delineation_engine == "device":
         return _extract_cases_batched_device(
             case_ids, record_loader, cfg, cache_dir, progress, windows_per_batch,
             inflight_depth=inflight_depth, mesh=mesh,
+            max_inflight_depth=max_inflight_depth,
         )
     if mesh is not None:
         raise ValueError(
@@ -621,10 +632,23 @@ def _extract_cases_batched_device(
     windows_per_batch: int = 512,
     inflight_depth: int = 2,
     mesh=None,
+    max_inflight_depth: int = 8,
 ) -> List[CaseResult]:
     """Streaming device extraction: cases flow window-by-window through a
     single compiled (windows_per_batch, 10000) kernel with no per-group
     barrier.
+
+    ``inflight_depth`` is the FLOOR of an adaptive controller:
+    the tunnelled accelerator's per-dispatch round-trip time varies ~8x
+    between congestion windows (BASELINE.md), and with a fixed shallow
+    queue one slow round trip stalls dispatching.  Each result pull is
+    timed; a pull slower than 3x the running median deepens the queue one
+    level (more chunks overlap the straggler), 16 consecutive calm pulls
+    decay it one level back toward the floor, and ``max_inflight_depth``
+    caps it (each queued chunk pins ~20 MB of host memory for potential
+    full-width re-dispatch).  Co-located hosts see stable pull times and
+    stay at the floor.  Measured effect under replayed congestion traces:
+    benchmarks/bench_congestion_replay.py.
 
     ``mesh``: an optional ``jax.sharding.Mesh`` — each chunk's window axis is
     sharded over the mesh's 'data' axis before dispatch, so ONE program runs
@@ -676,6 +700,8 @@ def _extract_cases_batched_device(
         sharding = batch_sharding(mesh, ndim=2)
         place = lambda chunk: jax.device_put(chunk, sharding)  # noqa: E731
 
+    seq_counter = iter(range(1 << 62))
+
     def run_chunk(chunk):
         """Dispatch one chunk through the light-profile program; returns the
         in-flight device value plus what a re-dispatch needs."""
@@ -683,11 +709,18 @@ def _extract_cases_batched_device(
             slots = LIGHT_CANDIDATES if _host_max_locmax(chunk) <= LIGHT_CANDIDATES else None
             dev = kernel(place(chunk), cfg.sampling_frequency, cfg.pvc_threshold,
                          cfg.sd_threshold_ecg, candidate_slots=slots, k_width=K_LIGHT)
-        return dev, chunk, slots
+        return dev, chunk, slots, next(seq_counter), time.perf_counter()
 
-    def resolve_chunk(dev, chunk, slots, k):
+    def resolve_chunk(dev, chunk, slots, k, seq, t_dispatch):
         """Pull a chunk result; re-dispatch full-width if any window's beat
         count overflowed K_LIGHT (rare: a window with HR > 144)."""
+        if _RESOLVE_LATENCY_HOOK is not None:
+            # congestion replay (bench/test only): the chunk's result
+            # becomes "available" hook(seq) seconds after its dispatch —
+            # a latency model of the recorded tunnel congestion windows
+            wait = t_dispatch + _RESOLVE_LATENCY_HOOK(seq) - time.perf_counter()
+            if wait > 0:
+                time.sleep(wait)
         with _stage("pull"):
             arr = np.asarray(dev)
         if arr[:k, 357].max(initial=0.0) > K_LIGHT:
@@ -737,11 +770,36 @@ def _extract_cases_batched_device(
                 _save_case(cache_dir, cid, res)
             by_cid[cid] = res
 
+    # adaptive in-flight depth controller (see the docstring): spike ->
+    # deepen, 16 calm pulls -> decay one level toward the floor
+    cur_depth = inflight_depth
+    pull_times: "deque[float]" = deque(maxlen=33)
+    calm_streak = 0
+
+    def _observe_pull(dt: float) -> None:
+        nonlocal cur_depth, calm_streak
+        pull_times.append(dt)
+        if len(pull_times) < 5:
+            return
+        med = sorted(pull_times)[len(pull_times) // 2]
+        if dt > 3.0 * med:
+            calm_streak = 0
+            if cur_depth < max_inflight_depth:
+                cur_depth += 1
+        else:
+            calm_streak += 1
+            if calm_streak >= 16 and cur_depth > inflight_depth:
+                cur_depth -= 1
+                calm_streak = 0
+
     def pull(depth: int) -> None:
         nonlocal avail_n
         while len(inflight) > depth:
-            k, dev, chunk, slots = inflight.popleft()
-            avail.append(resolve_chunk(dev, chunk, slots, k))
+            k, dev, chunk, slots, seq, t_d = inflight.popleft()
+            t0 = time.perf_counter()
+            arr = resolve_chunk(dev, chunk, slots, k, seq, t_d)
+            _observe_pull(time.perf_counter() - t0)
+            avail.append(arr)
             avail_n += k
             consume_cases()
 
@@ -750,9 +808,9 @@ def _extract_cases_batched_device(
         while buf_n >= W:
             chunk = _take(buf, W)
             buf_n -= W
-            dev, chunk, slots = run_chunk(chunk)
-            inflight.append((W, dev, chunk, slots))
-            pull(inflight_depth)
+            dev, chunk, slots, seq, t_d = run_chunk(chunk)
+            inflight.append((W, dev, chunk, slots, seq, t_d))
+            pull(cur_depth)
 
     def dispatch_tail() -> None:
         nonlocal buf_n
@@ -760,8 +818,8 @@ def _extract_cases_batched_device(
             chunk = _take(buf, buf_n)
             k = len(chunk)
             chunk = np.concatenate([chunk, np.zeros((W - k, chunk.shape[1]), np.float32)])
-            dev, chunk, slots = run_chunk(chunk)
-            inflight.append((k, dev, chunk, slots))
+            dev, chunk, slots, seq, t_d = run_chunk(chunk)
+            inflight.append((k, dev, chunk, slots, seq, t_d))
             buf_n = 0
 
     it = case_ids
