@@ -20,6 +20,8 @@ __all__ = [
     "pathological_ecg_record",
     "pathological_beat",
     "PATHOLOGICAL_WAVES",
+    "stressed_ecg_record",
+    "STRESSORS",
 ]
 
 # (latency s relative to R, amplitude mV, width s) per wave
@@ -124,6 +126,64 @@ def pathological_beat(t: np.ndarray, morphology: str, amp_scale: float = 1.0) ->
     for mu, a, s in waves.values():
         y = y + a * amp_scale * np.exp(-((t - mu) ** 2) / (2 * s**2))
     return y
+
+
+#: Record-level physiological stressors (rhythm / artefact / noise classes,
+#: as opposed to the per-beat morphology variants above): AFib-like
+#: irregular RR with absent P, ventricular pacing spikes, large baseline
+#: wander at the high-pass filter edge, and low-SNR noise.  Used by the
+#: delineation stress fixtures (tests/test_delineate_adversarial.py);
+#: per-class device-vs-host exactness is published in PARITY.md.
+STRESSORS = ("afib_rr", "paced", "wander_edge", "low_snr")
+
+
+def stressed_ecg_record(
+    stressor: str,
+    duration_s: float = 22.0,
+    fs: int = 500,
+    seed: int = 0,
+) -> np.ndarray:
+    """A record under one physiologically real stressor (STRESSORS):
+
+    - ``afib_rr``: absent-P beats with grossly irregular RR intervals
+      (uniform 0.4-1.1 s — no autocorrelated HRV structure), the
+      atrial-fibrillation rhythm pattern;
+    - ``paced``: normal beats preceded ~20 ms by a 2.2 mV, ~2-sample
+      pacing-stimulus spike (stresses R disambiguation and QRS onsets);
+    - ``wander_edge``: baseline wander at 0.9 Hz / 0.5 mV — just inside
+      the pipeline's 1.0 Hz 4th-order high-pass edge, so a large residual
+      survives filtering;
+    - ``low_snr``: white noise at 0.15 mV (SNR ~ 8 dB against the ~1.1 mV
+      R wave).
+    """
+    rng = np.random.default_rng(seed)
+    T = int(duration_s * fs)
+    t = np.arange(T) / fs
+    sig = np.zeros(T)
+
+    cur = rng.uniform(0.4, 0.9)
+    noise_std = 0.01
+    while cur < duration_s:
+        lo = max(0, int((cur - 0.4) * fs))
+        hi = min(T, int((cur + 0.5) * fs))
+        amp = 1.0 + rng.normal(0, 0.02)
+        if stressor == "afib_rr":
+            sig[lo:hi] += pathological_beat(t[lo:hi] - cur, "absent_p", amp)
+            cur += rng.uniform(0.4, 1.1)
+            continue
+        sig[lo:hi] += synthetic_beat(t[lo:hi] - cur, amp)
+        if stressor == "paced":
+            k = int((cur - 0.020) * fs)
+            if 0 <= k < T - 1:
+                sig[k : k + 2] += 2.2
+        cur += 60.0 / max(70.0 + rng.normal(0, 1.5), 20.0)
+
+    if stressor == "wander_edge":
+        sig += 0.5 * np.sin(2 * np.pi * 0.9 * t + rng.uniform(0, 2 * np.pi))
+    if stressor == "low_snr":
+        noise_std = 0.15
+    sig += noise_std * rng.standard_normal(T)
+    return sig
 
 
 def pathological_ecg_record(

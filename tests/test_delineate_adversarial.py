@@ -13,19 +13,33 @@ disagreement is printed for audit.
 import numpy as np
 import pytest
 
-from ae_waveforms_tpu.data.synthetic import PATHOLOGICAL_WAVES, pathological_ecg_record
+from ae_waveforms_tpu.data.synthetic import (
+    PATHOLOGICAL_WAVES,
+    STRESSORS,
+    pathological_ecg_record,
+    stressed_ecg_record,
+)
 from ae_waveforms_tpu.signals.delineate import FIDUCIAL_KEYS, delineate
 from ae_waveforms_tpu.signals.delineate_jax import delineate_batch
 from ae_waveforms_tpu.signals.filters import butterworth, zscore
 from ae_waveforms_tpu.signals.rpeaks import find_rpeaks_batch
 
 MORPHOLOGIES = sorted(PATHOLOGICAL_WAVES)
+#: morphology classes + record-level stressor classes; per-class measured
+#: device-vs-host exactness floors (PARITY.md "Delineation stress envelope")
+ALL_CLASSES = MORPHOLOGIES + list(STRESSORS)
 
 
-def _windows_for(morphology: str, n: int = 2):
+def _record_for(cls: str, seed: int) -> np.ndarray:
+    if cls in PATHOLOGICAL_WAVES:
+        return pathological_ecg_record(cls, duration_s=22.0, seed=seed)
+    return stressed_ecg_record(cls, duration_s=22.0, seed=seed)
+
+
+def _windows_for(cls: str, n: int = 2):
     wins = []
     for s in range(n):
-        rec = pathological_ecg_record(morphology, duration_s=22.0, seed=7 * s + 1)
+        rec = _record_for(cls, seed=7 * s + 1)
         rec = zscore(rec)
         rec = butterworth(rec, "high", 1.0, 500, 4, precision="float64")
         rec = butterworth(rec, "low", 30.0, 500, 4, precision="float64")
@@ -35,14 +49,14 @@ def _windows_for(morphology: str, n: int = 2):
     return wins, np.asarray(pk), np.asarray(npk)
 
 
-@pytest.mark.parametrize("morphology", MORPHOLOGIES)
+@pytest.mark.parametrize("morphology", ALL_CLASSES)
 def test_rpeaks_found_on_pathological(morphology):
     _, _, n_peaks = _windows_for(morphology)
     # ~22 s at 70 bpm -> ~25 beats; all morphologies keep a detectable R
     assert (n_peaks >= 15).all(), (morphology, n_peaks)
 
 
-@pytest.mark.parametrize("morphology", MORPHOLOGIES)
+@pytest.mark.parametrize("morphology", ALL_CLASSES)
 def test_host_structural_invariants(morphology):
     """Onset <= peak <= offset for every detected P/T wave, QRS boundaries
     bracket R, and fiducials are strictly inside the window."""
@@ -74,7 +88,7 @@ def test_host_structural_invariants(morphology):
             assert ((v >= 0) & (v < 10000)).all(), (morphology, key)
 
 
-@pytest.mark.parametrize("morphology", MORPHOLOGIES)
+@pytest.mark.parametrize("morphology", ALL_CLASSES)
 def test_device_agrees_with_host(morphology):
     wins, peaks, n_peaks = _windows_for(morphology)
     out = delineate_batch(wins.astype(np.float32), peaks, n_peaks, 500)
@@ -104,11 +118,19 @@ def test_device_agrees_with_host(morphology):
         for row in audit[:20]:
             print("  ", row)
     assert total > 100
-    assert exact / total >= 0.98, (morphology, exact, close, total)
-    assert close / total >= 0.99, (morphology, exact, close, total)
+    # per-class measured envelope (PARITY.md "Delineation stress envelope"):
+    # every morphology + stressor class is 100% index-exact at n=4 windows
+    # EXCEPT wander_edge (0.9946) — a 0.9 Hz / 0.5 mV wander surviving the
+    # 1 Hz high-pass leaves the f32 RMS detection thresholds near their
+    # flip point, and ONE beat's detect/no-detect flip cascades through
+    # that beat's dependent fiducials (NaN-vs-value disagreements, so the
+    # close-rate equals the exact-rate for this class)
+    floor = 0.985 if morphology == "wander_edge" else 0.995
+    assert exact / total >= floor, (morphology, exact, close, total)
+    assert close / total >= floor, (morphology, exact, close, total)
 
 
-@pytest.mark.parametrize("morphology", MORPHOLOGIES)
+@pytest.mark.parametrize("morphology", ALL_CLASSES)
 def test_native_agrees_with_host(morphology):
     from native import delineate_batch_native, get_lib
 
