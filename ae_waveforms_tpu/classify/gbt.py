@@ -64,13 +64,27 @@ LAMBDA = 1.0  # xgboost reg_lambda default
 BASE_SCORE = 0.0  # margin of base_score 0.5
 
 
+def _max_pallas_levels(fit_axis: int, fb: int, max_depth: int) -> int:
+    """Number of leading tree levels whose fused-kernel accumulator fits the
+    VMEM envelope: level ``d`` computes ``max(2^(d-1), 1)`` left children, so
+    feasibility is monotone in ``d`` and the count is the first infeasible
+    level index (``max_depth`` when every level fits)."""
+    for d in range(max_depth):
+        if not hist_vmem_feasible(fit_axis, max(2 ** (d - 1), 1), fb):
+            return d
+    return max_depth
+
+
 def _resolve_hist_impl(
     hist_impl: Optional[str], fb: int, fit_axis: int = 1, max_depth: int = 6
 ) -> str:
     """Histogram backend for the tree scan: "pallas" (fused VMEM kernel,
-    ops/gbt_hist_pallas.py) or "xla" (batched one-hot matmul).  ``None``
-    reads AE_GBT_HIST (auto/pallas/xla); "pallas_interpret" forces the
-    interpreter (CPU-backed oracle tests).
+    ops/gbt_hist_pallas.py), "xla" (batched one-hot matmul), or "mixed:<K>"
+    (pallas for levels ``depth < K``, xla for the deeper levels; see
+    BENCHMARKS.md "Mixed per-level histogram backend" for the on-chip
+    measurement that decides whether auto ever picks it).  ``None``
+    reads AE_GBT_HIST (auto/pallas/xla/mixed:<K>); "pallas_interpret" forces
+    the interpreter (CPU-backed oracle tests).
 
     auto picks pallas on TPU when (a) the one-hot width ``fb = F * n_bins``
     is narrow enough that the VMEM-resident accumulator leaves room for
@@ -101,6 +115,14 @@ def _resolve_hist_impl(
             and hist_vmem_feasible(fit_axis, worst_half, fb)
         )
         return "pallas" if ok else "xla"
+    if hist_impl.startswith(("mixed:", "mixed_interpret:")):
+        prefix, _, k = hist_impl.partition(":")
+        k = int(k)
+        if k <= 0:
+            return "xla"
+        if k >= max_depth:
+            return "pallas" if prefix == "mixed" else "pallas_interpret"
+        return f"{prefix}:{k}"
     assert hist_impl in ("pallas", "xla", "pallas_interpret"), hist_impl
     return hist_impl
 
@@ -177,13 +199,25 @@ def _fit_gbt_margins(
     # fallback resolution for direct callers; the public entry points below
     # resolve BEFORE their jit boundary with the true vmapped fit-axis size
     hist_impl = _resolve_hist_impl(hist_impl, F * n_bins, 1, max_depth)
-    if hist_impl == "xla":
+    # "mixed:<K>": the fused kernel serves levels depth < K (their VMEM
+    # accumulators fit), XLA serves the deeper levels — per-level selection
+    # is a Python decision over the unrolled depth loop, so each backend's
+    # inputs are built only if some level uses it
+    pallas_levels = (
+        int(hist_impl.split(":", 1)[1])
+        if hist_impl.startswith(("mixed:", "mixed_interpret:"))
+        else 0 if hist_impl == "xla" else max_depth
+    )
+    kernel_interpret = hist_impl == "pallas_interpret" or hist_impl.startswith(
+        "mixed_interpret:"
+    )
+    if pallas_levels < max_depth:
         # static one-hot bin indicators (n, F * n_bins) via direct iota
         # compare (cheaper to fuse than one_hot over shifted indices)
         onehot = (bins[:, :, None] == jnp.arange(n_bins)[None, None, :]).astype(
             jnp.float32
         ).reshape(n, F * n_bins)
-    else:
+    if pallas_levels > 0:
         # the Pallas kernel streams the one-hot as int8 (built once per
         # program, level-invariant) and fuses the A-operand construction
         onehot_i8 = onehot_int8(bins, n_bins)
@@ -220,13 +254,13 @@ def _fit_gbt_margins(
             n_nodes = 2**depth
             node_onehot = jax.nn.one_hot(node_of, n_nodes, dtype=jnp.float32)
             half = max(n_nodes // 2, 1)
-            if hist_impl != "xla":
+            if depth < pallas_levels:
                 # fused VMEM kernel: both matmul operands built on-chip, no
                 # per-level HBM intermediates (ops/gbt_hist_pallas.py); the
                 # sweep's vmap axis folds into the kernel's column axis
                 GH = left_histograms(
                     onehot_i8, g, h, node_of, half=half, n_bins=n_bins,
-                    interpret=(hist_impl == "pallas_interpret"),
+                    interpret=kernel_interpret,
                 )
             elif depth == 0:
                 # root histograms: one stacked MXU matmul for G and H

@@ -110,10 +110,14 @@ def grid_search_cv(
     bin edges are computed per fold from the training rows only — the same
     no-leakage discipline as the reference's GridSearchCV + XGBoost.
 
-    ``fits_per_call=96`` is the measured per-fit optimum on chip
-    (benchmarks/bench_gbt_chunk_scaling.py: 0.049 ms/tree/fit at 96 with the
-    Pallas histogram kernel vs 0.068 at 24 / 0.094 at 48), and bigger chunks
-    also mean fewer dispatches through a congested relay."""
+    ``fits_per_call=96`` is the measured per-fit optimum on chip for the
+    shallow (depth<=6) bucket (benchmarks/bench_gbt_chunk_scaling.py:
+    0.049 ms/tree/fit at 96 with the Pallas histogram kernel vs 0.068 at
+    24 / 0.094 at 48), and bigger chunks also mean fewer dispatches through
+    a congested relay.  The deep (depth<=10) bucket has its own measured
+    optimum — 24-fit chunks with the mixed per-level histogram backend
+    (benchmarks/bench_gbt_mixed.py; see ``bucket_plan`` in the vectorized
+    path) — applied automatically; ``fits_per_call`` only caps it."""
     if n_candidates < 1:
         raise ValueError(f"n_candidates must be >= 1, got {n_candidates}")
     params = lhs_param_dicts(n_candidates, random_state=random_state)
@@ -230,8 +234,8 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
 
         return jax.vmap(one)(margins, fold_ids)
 
-    @functools.partial(jax.jit, static_argnames=("depth",))
-    def _run_chunk(packed, fold_id, depth):
+    @functools.partial(jax.jit, static_argnames=("depth", "hist_impl"))
+    def _run_chunk(packed, fold_id, depth, hist_impl=None):
         """One fused device program per chunk (fit + held-out AUC).
         Every fit in a chunk shares one CV fold, so the chunk's bin matrix
         (that fold's training-row quantile edges) stays unbatched and its
@@ -253,6 +257,7 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
         _, margins = fit_gbt_sweep_margins(
             bins_fold, y_dev, row_w, rngs, lr, gm, mc, sb, cl, na,
             max_depth=depth, n_estimators=cap, depth_limits=dl,
+            hist_impl=hist_impl,
         )
         return _fold_aucs(margins, jnp.broadcast_to(fold_id, (S,)))
 
@@ -269,7 +274,28 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
     fold_done = np.zeros((len(params), cv), bool)
     done = 0
 
-    def dispatch(chunk, fold, depth):
+    # Per-bucket chunk size and histogram backend, measured on chip
+    # (benchmarks/bench_gbt_mixed.py, v5e, production deep-bucket shape):
+    # the deep (depth<=10) bucket's optimum is 24-fit chunks — XLA's
+    # per-level A-operand HBM traffic scales with S, so the 96-fit optimum
+    # tuned for the Pallas kernel is wrong there (0.990 -> 0.870 ms/tree/fit)
+    # — and the mixed per-level backend (fused Pallas kernel on the 8
+    # VMEM-feasible shallow levels, XLA on levels 8-9) takes it to 0.753:
+    # a 1.31x faster deep bucket (~363 s -> ~276 s of the production grid).
+    # The mixed kernel needs a real TPU; elsewhere the auto policy decides.
+    def bucket_plan(depth: int) -> Tuple[int, Optional[str]]:
+        if depth <= 6:
+            return max(1, fits_per_call), None
+        S = max(1, min(fits_per_call, 24))
+        if jax.default_backend() == "tpu":
+            from ae_waveforms_tpu.classify.gbt import N_BINS, _max_pallas_levels
+
+            k = _max_pallas_levels(S, X.shape[1] * N_BINS, depth)
+            if 0 < k < depth:
+                return S, f"mixed:{k}"
+        return S, None
+
+    def dispatch(chunk, fold, depth, hist_impl):
         """Enqueue one chunk's fit + predict + held-out AUC; returns the
         (S,) device AUC vector without blocking (JAX async dispatch).  Per
         chunk only the traced hyperparameter scalars go up and S floats
@@ -283,7 +309,9 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
                 p["subsample"], p["colsample_bytree"], p["n_estimators"],
                 p["max_depth"], random_state,
             )
-        return _run_chunk(jnp.asarray(packed), jnp.asarray(fold, jnp.int32), depth)
+        return _run_chunk(
+            jnp.asarray(packed), jnp.asarray(fold, jnp.int32), depth, hist_impl
+        )
 
     def score(chunk, fold, aucs_dev):
         nonlocal done
@@ -310,10 +338,11 @@ def _grid_search_cv_vectorized(X, y, params, folds, random_state, verbose, fits_
     # behind device execution instead of serialising with it
     pending = None
     for depth, idxs in sorted(by_depth.items()):
+        bucket_fits, bucket_impl = bucket_plan(depth)
         for fold in range(cv):
-            for c0 in range(0, len(idxs), max(1, fits_per_call)):
-                chunk = idxs[c0 : c0 + max(1, fits_per_call)]
-                aucs_dev = dispatch(chunk, fold, depth)
+            for c0 in range(0, len(idxs), bucket_fits):
+                chunk = idxs[c0 : c0 + bucket_fits]
+                aucs_dev = dispatch(chunk, fold, depth, bucket_impl)
                 if pending is not None:
                     score(*pending)
                 pending = (chunk, fold, aucs_dev)

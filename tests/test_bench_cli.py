@@ -78,6 +78,8 @@ def test_isolated_assembles_both_sides(monkeypatch, capsys):
         assert v not in host_env
     out = capsys.readouterr()
     rec = json.loads(out.out.strip().splitlines()[-1])
+    mfu = rec.pop("mfu")  # MXU-shaped metric: an achieved-vs-peak utilization
+    assert 0.0 < mfu < 1.0
     assert rec == {"metric": name, "value": 100.0, "unit": "samples/s",
                    "vs_baseline": 25.0}
     assert "ignored preamble" not in out.out  # only the final line is printed

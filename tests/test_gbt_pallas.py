@@ -150,3 +150,37 @@ def test_kernel_raises_clearly_beyond_vmem():
         interpret=True, precision="float32",
     )
     assert out.shape == (S, 2 * half, F * n_bins)
+
+
+def test_fit_margins_mixed_matches_xla():
+    """mixed:<K> runs the fused kernel on levels depth < K and XLA on the
+    rest; tree structure and margins must match the pure paths."""
+    bins, y, rng = _task()
+    w = jnp.asarray((rng.uniform(size=y.shape) > 0.3).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    kw = dict(max_depth=4, n_estimators=12, learning_rate=0.2,
+              subsample=0.9, colsample_bytree=0.9, n_bins=64)
+    ens_x, m_x = _fit_gbt_margins(bins, y, w, key, hist_impl="xla", **kw)
+    ens_m, m_m = _fit_gbt_margins(
+        bins, y, w, key, hist_impl="mixed_interpret:2", **kw
+    )
+    assert bool((ens_x.feat == ens_m.feat).all())
+    assert bool((ens_x.thresh == ens_m.thresh).all())
+    assert bool((ens_x.is_split == ens_m.is_split).all())
+    np.testing.assert_allclose(np.asarray(m_x), np.asarray(m_m), atol=5e-3)
+
+
+def test_resolve_mixed_levels():
+    """mixed:<K> resolution: degenerate K collapses to the pure backends."""
+    from ae_waveforms_tpu.classify.gbt import _max_pallas_levels, _resolve_hist_impl
+
+    assert _resolve_hist_impl("mixed:0", 640, 96, 10) == "xla"
+    assert _resolve_hist_impl("mixed:10", 640, 96, 10) == "pallas"
+    assert _resolve_hist_impl("mixed:6", 640, 96, 10) == "mixed:6"
+    assert _resolve_hist_impl("mixed_interpret:4", 640, 96, 10) == "mixed_interpret:4"
+    assert _resolve_hist_impl("mixed_interpret:12", 640, 96, 10) == "pallas_interpret"
+    # the VMEM envelope admits exactly the shallow levels of a deep 96-fit
+    # program (calibration pinned by test_vmem_feasibility_model)
+    assert _max_pallas_levels(96, 640, 10) == 6
+    assert _max_pallas_levels(96, 640, 6) == 6
+    assert _max_pallas_levels(1, 640, 10) == 10
