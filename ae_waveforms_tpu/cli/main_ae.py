@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="devices in the training mesh (0 = all visible)")
     p.add_argument("--model_parallel", type=int, default=d.model_parallel,
                    help="size of the 'model' axis of the (data, model) mesh")
+    # multi-config training (beyond the reference, which trains one model
+    # per process): S seeds of this architecture in ONE vmapped program
+    p.add_argument("--seeds", type=str, default="",
+                   help="comma-separated seeds; train mode only: train all "
+                        "of them simultaneously in one device program "
+                        "(train/multi.py), one run dir per seed")
     return p
 
 
@@ -104,6 +110,14 @@ def autoencoder(custom_args: Optional[List[str]] = None):
 
     mode = str(cfg.mode).lower()
     if mode == "train":
+        if args.seeds.strip():
+            from ae_waveforms_tpu.train.multi import train_ae_multi
+
+            seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
+            res = train_ae_multi(cfg, seeds, save_runs=True)
+            for s, d_, v in zip(res.seeds, res.run_dirs, res.best_val):
+                print(f"Training done (seed {s}, best val {v:.6f}), saved at: {d_}")
+            return res.run_dirs
         from ae_waveforms_tpu.train.loop import main_train
 
         output_dir = main_train(cfg)

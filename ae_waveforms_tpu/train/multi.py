@@ -30,11 +30,14 @@ and cannot share one vmap — group per latent size and call once per group
 
 from __future__ import annotations
 
+import glob
 import math
 import os
+import shutil
 import tempfile
-from dataclasses import dataclass
-from typing import List, Optional, Sequence
+import time
+from dataclasses import dataclass, replace
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,7 +58,7 @@ from ae_waveforms_tpu.train.loop import (
 )
 from ae_waveforms_tpu.train.optimizers import make_optimizer
 
-__all__ = ["train_ae_multi", "MultiTrainResult"]
+__all__ = ["train_ae_multi", "train_ae_multi_grouped", "MultiTrainResult"]
 
 
 @dataclass
@@ -69,6 +72,7 @@ class MultiTrainResult:
     stopped: np.ndarray  # (S,) early-stopped flags at exit
     train_losses: np.ndarray  # (total_steps, S)
     val_losses: np.ndarray  # (n_validations, S)
+    run_dirs: Optional[List[str]] = None  # per-config run dirs (save_runs=True)
 
     def params_for(self, i: int):
         return jax.tree_util.tree_map(lambda a: np.asarray(a[i]), self.best_params)
@@ -231,6 +235,7 @@ def train_ae_multi(
     max_steps: Optional[int] = None,
     segments_per_dispatch: int = 8,
     results_dir: Optional[str] = None,
+    save_runs: bool = False,
 ) -> MultiTrainResult:
     """Train ``len(seeds)`` configurations of ``cfg.model_class`` at
     ``cfg.latent_size`` simultaneously; see the module docstring for the
@@ -239,6 +244,11 @@ def train_ae_multi(
     dispatches).  ``mesh`` shards the configuration axis over the mesh's
     'data' devices (padding with duplicates of the last seed).
     ``max_steps`` bounds the per-config step count (tests/benchmarks).
+    ``save_runs`` writes each configuration to its own
+    ``<cfg.results_dir>/networks_autoencoder/<stamp>-s<seed>`` run dir
+    (best-params checkpoint + split masks), so ``main_test`` / ``Scorer``
+    consume a multi-run exactly like a ``main_train`` run; the dirs come
+    back in ``MultiTrainResult.run_dirs``.
     """
     seeds = [int(s) for s in seeds]
     S_real = len(seeds)
@@ -405,7 +415,7 @@ def train_ae_multi(
     best_p = _never_improved_fallback(best_p, params, ever_improved)
     if pad:
         best_p = jax.tree_util.tree_map(lambda a: a[:S_real], best_p)
-    return MultiTrainResult(
+    result = MultiTrainResult(
         seeds=seeds[:S_real],
         best_params=best_p,
         best_val=np.asarray(best_val)[:S_real],
@@ -414,3 +424,60 @@ def train_ae_multi(
         train_losses=np.concatenate(train_hist, axis=0)[:, :S_real],
         val_losses=np.concatenate(val_hist, axis=0)[:, :S_real],
     )
+    if save_runs:
+        result.run_dirs = _save_multi_runs(cfg, result, mask_dir)
+    return result
+
+
+def _save_multi_runs(cfg: TrainConfig, result: MultiTrainResult, mask_dir: str) -> List[str]:
+    """One ``main_train``-shaped run dir per configuration: the best-params
+    checkpoint under the rolling-best filename ``latest_best`` globs for,
+    plus the shared split masks (``indices_{split}_*.npy``) ``main_test`` /
+    the analysis CLI read from the run dir.  The full optimizer state is
+    not written — multi-runs are not mid-run resumable (use ``main_train``
+    with ``resume_dir`` for that)."""
+    from ae_waveforms_tpu.train import checkpoint as ckpt
+
+    stamp = time.strftime("%y-%m-%d-%H%M%S")
+    masks = glob.glob(os.path.join(mask_dir, "indices_*_*.npy"))
+    dirs: List[str] = []
+    for i, seed in enumerate(result.seeds):
+        run_dir = os.path.join(
+            cfg.results_dir, "networks_autoencoder", f"{stamp}-s{seed}"
+        )
+        os.makedirs(run_dir, exist_ok=True)
+        val = float(np.around(result.best_val[i], 4))
+        ckpt.save_state(
+            os.path.join(run_dir, f"model_min_val_loss-{val}_params.npz"),
+            result.params_for(i),
+        )
+        for m in masks:
+            dest = os.path.join(run_dir, os.path.basename(m))
+            if os.path.abspath(m) != os.path.abspath(dest):
+                shutil.copy2(m, dest)
+        dirs.append(run_dir)
+    return dirs
+
+
+def train_ae_multi_grouped(
+    cfg: TrainConfig,
+    configs: Sequence[Tuple[int, int]],  # (latent_size, seed) per config
+    **kwargs,
+) -> Dict[int, MultiTrainResult]:
+    """``train_ae_multi`` over configurations spanning SEVERAL latent sizes.
+
+    Different latent sizes mean different parameter shapes, which one vmap
+    cannot batch — so configurations are grouped per latent size and each
+    group trains as one vmapped program (the reference's analysis pair is
+    exactly this shape: AUT-231 d=10 + AUT-296 d=20,
+    analysis_performance_traditional_vs_ae.py:226-230).  Returns
+    ``{latent_size: MultiTrainResult}``; ``kwargs`` pass through to
+    ``train_ae_multi`` (``save_runs=True`` gives every configuration its
+    own run dir across all groups)."""
+    groups: Dict[int, List[int]] = {}
+    for latent, seed in configs:
+        groups.setdefault(int(latent), []).append(int(seed))
+    return {
+        latent: train_ae_multi(replace(cfg, latent_size=latent), seeds, **kwargs)
+        for latent, seeds in groups.items()
+    }

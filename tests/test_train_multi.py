@@ -138,3 +138,41 @@ def test_multi_early_stop_freezes_best(setup):
     p0 = res.params_for(0)
     leaf = jax_leaves(p0)[0]
     assert leaf.ndim == jax_leaves(res.best_params)[0].ndim - 1
+
+
+def test_grouped_spans_latent_sizes(setup):
+    """The reference's analysis pair (d=10 + d=20 AEs) spans latent sizes —
+    one vmap cannot batch different parameter shapes, so the grouped entry
+    trains one program per latent size and keys results by it."""
+    from ae_waveforms_tpu.train.multi import train_ae_multi_grouped
+
+    cfg, arrays = setup
+    out = train_ae_multi_grouped(
+        cfg, configs=[(3, 3), (5, 7), (3, 4)], arrays=arrays, max_steps=6
+    )
+    assert sorted(out) == [3, 5]
+    assert out[3].seeds == [3, 4] and out[5].seeds == [7]
+    # each group matches its own direct call (same split, same streams)
+    direct = train_ae_multi(cfg.replace(latent_size=5), seeds=[7],
+                            arrays=arrays, max_steps=6)
+    np.testing.assert_allclose(
+        out[5].train_losses[:, 0], direct.train_losses[:, 0], rtol=2e-5, atol=1e-6
+    )
+
+
+def test_save_runs_feeds_main_test(setup):
+    """save_runs=True writes main_train-shaped run dirs: main_test must
+    load each config's best checkpoint and split masks unchanged."""
+    from ae_waveforms_tpu.train.eval import main_test
+
+    cfg, arrays = setup
+    res = train_ae_multi(cfg, seeds=[3, 4], arrays=arrays, max_steps=6,
+                         save_runs=True)
+    assert res.run_dirs is not None and len(res.run_dirs) == 2
+    for i, run_dir in enumerate(res.run_dirs):
+        assert os.path.isdir(run_dir)
+        run_id = os.path.basename(run_dir)
+        assert run_id.endswith(f"-s{res.seeds[i]}")
+        tcfg = cfg.replace(mode="test", trained_model=run_id)
+        (_, (test_loss, *_rest), _preds, _) = main_test(tcfg, arrays=arrays)
+        assert np.isfinite(test_loss)
