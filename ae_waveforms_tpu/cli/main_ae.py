@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated seeds; train mode only: train all "
                         "of them simultaneously in one device program "
                         "(train/multi.py), one run dir per seed")
+    p.add_argument("--lr_sweep", type=str, default="",
+                   help="comma-separated learning-rate multipliers; train "
+                        "mode only: crossed with --seeds (or --seed) into "
+                        "one vmapped multi-config program, one run dir per "
+                        "(seed, multiplier) pair")
     return p
 
 
@@ -110,13 +115,22 @@ def autoencoder(custom_args: Optional[List[str]] = None):
 
     mode = str(cfg.mode).lower()
     if mode == "train":
-        if args.seeds.strip():
+        if args.seeds.strip() or args.lr_sweep.strip():
             from ae_waveforms_tpu.train.multi import train_ae_multi
 
-            seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
-            res = train_ae_multi(cfg, seeds, save_runs=True)
-            for s, d_, v in zip(res.seeds, res.run_dirs, res.best_val):
-                print(f"Training done (seed {s}, best val {v:.6f}), saved at: {d_}")
+            seeds = ([int(s) for s in args.seeds.split(",") if s.strip()]
+                     if args.seeds.strip() else [cfg.seed])
+            mults = ([float(m) for m in args.lr_sweep.split(",") if m.strip()]
+                     if args.lr_sweep.strip() else [1.0])
+            # full cross: every seed at every lr multiplier, one program
+            cross_seeds = [s for s in seeds for _ in mults]
+            cross_mults = [m for _ in seeds for m in mults]
+            res = train_ae_multi(cfg, cross_seeds, lr_multipliers=cross_mults,
+                                 save_runs=True)
+            for s, m, d_, v in zip(res.seeds, res.lr_multipliers,
+                                   res.run_dirs, res.best_val):
+                print(f"Training done (seed {s}, lr x{m:g}, "
+                      f"best val {v:.6f}), saved at: {d_}")
             return res.run_dirs
         from ae_waveforms_tpu.train.loop import main_train
 

@@ -73,6 +73,7 @@ class MultiTrainResult:
     train_losses: np.ndarray  # (total_steps, S)
     val_losses: np.ndarray  # (n_validations, S)
     run_dirs: Optional[List[str]] = None  # per-config run dirs (save_runs=True)
+    lr_multipliers: Optional[np.ndarray] = None  # (S,) per-config lr scale
 
     def params_for(self, i: int):
         return jax.tree_util.tree_map(lambda a: np.asarray(a[i]), self.best_params)
@@ -423,6 +424,7 @@ def train_ae_multi(
         stopped=np.asarray(stopped)[:S_real],
         train_losses=np.concatenate(train_hist, axis=0)[:, :S_real],
         val_losses=np.concatenate(val_hist, axis=0)[:, :S_real],
+        lr_multipliers=np.asarray(lr_mults[:S_real], np.float32),
     )
     if save_runs:
         result.run_dirs = _save_multi_runs(cfg, result, mask_dir)
@@ -440,11 +442,14 @@ def _save_multi_runs(cfg: TrainConfig, result: MultiTrainResult, mask_dir: str) 
 
     stamp = time.strftime("%y-%m-%d-%H%M%S")
     masks = glob.glob(os.path.join(mask_dir, "indices_*_*.npy"))
+    mults = result.lr_multipliers
+    tag_lr = mults is not None and not np.allclose(mults, 1.0)
     dirs: List[str] = []
     for i, seed in enumerate(result.seeds):
-        run_dir = os.path.join(
-            cfg.results_dir, "networks_autoencoder", f"{stamp}-s{seed}"
-        )
+        name = f"{stamp}-s{seed}"
+        if tag_lr:  # lr-sweep configs share seeds; the multiplier is the key
+            name += f"-lr{float(mults[i]):g}"
+        run_dir = os.path.join(cfg.results_dir, "networks_autoencoder", name)
         os.makedirs(run_dir, exist_ok=True)
         val = float(np.around(result.best_val[i], 4))
         ckpt.save_state(

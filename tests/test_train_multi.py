@@ -160,6 +160,33 @@ def test_grouped_spans_latent_sizes(setup):
     )
 
 
+def test_cli_lr_sweep_crosses_seeds(tmp_path):
+    """`main_ae -m train --seeds A,B --lr_sweep 1,0.25` trains the full
+    (seed x multiplier) cross in one vmapped program and writes one
+    main_test-loadable run dir per pair, lr-tagged when the multiplier
+    isn't 1 (the reference sweeps lr by editing main_ae.py:62 and
+    re-running once per value)."""
+    from ae_waveforms_tpu.cli.main_ae import autoencoder
+
+    data_dir = str(tmp_path / "data")
+    save_arrays(_toy_arrays(n=120, n_cases=20), data_dir)
+    run_dirs = autoencoder([
+        "-m", "train", "--dataset_dir", data_dir,
+        "--results_dir", str(tmp_path / "results"),
+        "--model_class", "LSTMAutoencoder", "--latent_size", "3",
+        "--batch_size", "16", "--epochs", "1", "--validation_interval", "3",
+        "--split_size_val", "0.25", "--split_size_test", "0.25",
+        "--seed", "1", "--plotting", "",
+        "--seeds", "3,4", "--lr_sweep", "1,0.25",
+    ])
+    names = [os.path.basename(d) for d in run_dirs]
+    assert len(names) == 4
+    for seed in (3, 4):
+        assert any(n.endswith(f"-s{seed}-lr1") for n in names)
+        assert any(n.endswith(f"-s{seed}-lr0.25") for n in names)
+    assert all(os.path.isdir(d) for d in run_dirs)
+
+
 def test_save_runs_feeds_main_test(setup):
     """save_runs=True writes main_train-shaped run dirs: main_test must
     load each config's best checkpoint and split masks unchanged."""
