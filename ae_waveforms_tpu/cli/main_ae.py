@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "mode only: crossed with --seeds (or --seed) into "
                         "one vmapped multi-config program, one run dir per "
                         "(seed, multiplier) pair")
+    p.add_argument("--latent_sizes", type=str, default="",
+                   help="comma-separated latent sizes; train mode only: "
+                        "crossed with --seeds/--lr_sweep, one vmapped "
+                        "program per latent size (the analysis pair "
+                        "d=10 + d=20 in one command)")
     return p
 
 
@@ -115,13 +120,34 @@ def autoencoder(custom_args: Optional[List[str]] = None):
 
     mode = str(cfg.mode).lower()
     if mode == "train":
-        if args.seeds.strip() or args.lr_sweep.strip():
-            from ae_waveforms_tpu.train.multi import train_ae_multi
+        if args.seeds.strip() or args.lr_sweep.strip() or args.latent_sizes.strip():
+            from ae_waveforms_tpu.train.multi import (
+                train_ae_multi,
+                train_ae_multi_grouped,
+            )
 
             seeds = ([int(s) for s in args.seeds.split(",") if s.strip()]
                      if args.seeds.strip() else [cfg.seed])
             mults = ([float(m) for m in args.lr_sweep.split(",") if m.strip()]
                      if args.lr_sweep.strip() else [1.0])
+            if args.latent_sizes.strip():
+                latents = [int(d_) for d_ in args.latent_sizes.split(",") if d_.strip()]
+                # full (latent x seed x multiplier) cross, one vmapped
+                # program per latent size (shapes differ across sizes)
+                by_latent = train_ae_multi_grouped(
+                    cfg,
+                    [(d_, s, m) for d_ in latents for s in seeds for m in mults],
+                    save_runs=True,
+                )
+                run_dirs = []
+                for d_ in latents:
+                    res = by_latent[d_]
+                    for s, m, rd, v in zip(res.seeds, res.lr_multipliers,
+                                           res.run_dirs, res.best_val):
+                        print(f"Training done (latent {d_}, seed {s}, "
+                              f"lr x{m:g}, best val {v:.6f}), saved at: {rd}")
+                    run_dirs.extend(res.run_dirs)
+                return run_dirs
             # full cross: every seed at every lr multiplier, one program
             cross_seeds = [s for s in seeds for _ in mults]
             cross_mults = [m for _ in seeds for m in mults]

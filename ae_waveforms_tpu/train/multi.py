@@ -246,7 +246,8 @@ def train_ae_multi(
     'data' devices (padding with duplicates of the last seed).
     ``max_steps`` bounds the per-config step count (tests/benchmarks).
     ``save_runs`` writes each configuration to its own
-    ``<cfg.results_dir>/networks_autoencoder/<stamp>-s<seed>`` run dir
+    ``<cfg.results_dir>/networks_autoencoder/<stamp>-d<latent>-s<seed>[-lr<mult>]``
+    run dir
     (best-params checkpoint + split masks), so ``main_test`` / ``Scorer``
     consume a multi-run exactly like a ``main_train`` run; the dirs come
     back in ``MultiTrainResult.run_dirs``.
@@ -446,7 +447,9 @@ def _save_multi_runs(cfg: TrainConfig, result: MultiTrainResult, mask_dir: str) 
     tag_lr = mults is not None and not np.allclose(mults, 1.0)
     dirs: List[str] = []
     for i, seed in enumerate(result.seeds):
-        name = f"{stamp}-s{seed}"
+        # latent tag first: grouped multi-latent runs can share a stamp and
+        # a seed across groups (the -s / -lr suffix checks stay valid)
+        name = f"{stamp}-d{cfg.latent_size}-s{seed}"
         if tag_lr:  # lr-sweep configs share seeds; the multiplier is the key
             name += f"-lr{float(mults[i]):g}"
         run_dir = os.path.join(cfg.results_dir, "networks_autoencoder", name)
@@ -466,7 +469,7 @@ def _save_multi_runs(cfg: TrainConfig, result: MultiTrainResult, mask_dir: str) 
 
 def train_ae_multi_grouped(
     cfg: TrainConfig,
-    configs: Sequence[Tuple[int, int]],  # (latent_size, seed) per config
+    configs: Sequence[Tuple],  # (latent_size, seed[, lr_multiplier]) each
     **kwargs,
 ) -> Dict[int, MultiTrainResult]:
     """``train_ae_multi`` over configurations spanning SEVERAL latent sizes.
@@ -475,14 +478,20 @@ def train_ae_multi_grouped(
     cannot batch — so configurations are grouped per latent size and each
     group trains as one vmapped program (the reference's analysis pair is
     exactly this shape: AUT-231 d=10 + AUT-296 d=20,
-    analysis_performance_traditional_vs_ae.py:226-230).  Returns
-    ``{latent_size: MultiTrainResult}``; ``kwargs`` pass through to
+    analysis_performance_traditional_vs_ae.py:226-230).  Each config is
+    ``(latent_size, seed)`` or ``(latent_size, seed, lr_multiplier)``.
+    Returns ``{latent_size: MultiTrainResult}``; ``kwargs`` pass through to
     ``train_ae_multi`` (``save_runs=True`` gives every configuration its
     own run dir across all groups)."""
-    groups: Dict[int, List[int]] = {}
-    for latent, seed in configs:
-        groups.setdefault(int(latent), []).append(int(seed))
+    groups: Dict[int, Tuple[List[int], List[float]]] = {}
+    for c in configs:
+        latent, seed = int(c[0]), int(c[1])
+        mult = float(c[2]) if len(c) > 2 else 1.0
+        seeds, mults = groups.setdefault(latent, ([], []))
+        seeds.append(seed)
+        mults.append(mult)
     return {
-        latent: train_ae_multi(replace(cfg, latent_size=latent), seeds, **kwargs)
-        for latent, seeds in groups.items()
+        latent: train_ae_multi(replace(cfg, latent_size=latent), seeds,
+                               lr_multipliers=mults, **kwargs)
+        for latent, (seeds, mults) in groups.items()
     }

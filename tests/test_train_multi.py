@@ -187,6 +187,43 @@ def test_cli_lr_sweep_crosses_seeds(tmp_path):
     assert all(os.path.isdir(d) for d in run_dirs)
 
 
+def test_cli_latent_sizes_grouped(tmp_path):
+    """`main_ae -m train --latent_sizes 3,5` trains one vmapped program per
+    latent size (the reference's analysis pair d=10 + d=20 in one command,
+    analysis_performance_traditional_vs_ae.py:226-230), crossing seeds and
+    lr multipliers inside each group; run dirs carry the latent tag so the
+    groups cannot collide."""
+    from ae_waveforms_tpu.cli.main_ae import autoencoder
+    from ae_waveforms_tpu.train.eval import main_test
+    from ae_waveforms_tpu.core.config import TrainConfig as TC
+
+    data_dir = str(tmp_path / "data")
+    results_dir = str(tmp_path / "results")
+    save_arrays(_toy_arrays(n=120, n_cases=20), data_dir)
+    base_args = [
+        "-m", "train", "--dataset_dir", data_dir, "--results_dir", results_dir,
+        "--model_class", "LSTMAutoencoder", "--batch_size", "16",
+        "--epochs", "1", "--validation_interval", "3",
+        "--split_size_val", "0.25", "--split_size_test", "0.25",
+        "--seed", "1", "--plotting", "",
+    ]
+    run_dirs = autoencoder(base_args + [
+        "--latent_sizes", "3,5", "--seeds", "3", "--lr_sweep", "1,0.5",
+    ])
+    names = [os.path.basename(d) for d in run_dirs]
+    assert len(names) == 4
+    for d in (3, 5):
+        assert any(f"-d{d}-s3-lr1" in n and n.endswith("-lr1") for n in names)
+        assert any(n.endswith(f"-lr0.5") and f"-d{d}-" in n for n in names)
+    # a grouped run dir loads through main_test at its own latent size
+    pick = next(n for n in names if "-d5-" in n and n.endswith("-lr0.5"))
+    tcfg = TC(mode="test", dataset_dir=data_dir, results_dir=results_dir,
+              model_class="LSTMAutoencoder", latent_size=5,
+              trained_model=pick, plotting=False)
+    (_, (test_loss, *_r), _p, _) = main_test(tcfg)
+    assert np.isfinite(test_loss)
+
+
 def test_save_runs_feeds_main_test(setup):
     """save_runs=True writes main_train-shaped run dirs: main_test must
     load each config's best checkpoint and split masks unchanged."""
