@@ -10,6 +10,13 @@ stack on this machine).  Both sides report the median of repeated timed
 runs, so per-dispatch relay latency variance cannot swing the number.
 
 Additional lines (best-effort; each skipped on error):
+  multi_ae_train_throughput   the multi-configuration trainer
+                              (train/multi.py, `main_ae --seeds/--lr_sweep`):
+                              8 seed configs of the flagship LSTM-AE trained
+                              simultaneously in one vmapped program —
+                              EFFECTIVE samples/s vs the same sequential
+                              torch-CPU baseline as the headline (the
+                              reference trains one model per process)
   conv_ae_train_throughput    the second AE family (the reference's
                               LeNet5AutoencoderAvgPool, model_classes.py:
                               51-108) on the same fused train chunk vs its
@@ -125,6 +132,96 @@ def bench_conv_tpu(n_steps: int = 100, n_reps: int = 5) -> float:
     MXU work with no serial scan — so this is the model family whose
     performance profile is most unlike the recurrent flagship."""
     return _bench_train_chunk("LeNet5AutoencoderAvgPool", n_steps, n_reps)
+
+
+def bench_multi_tpu(n_configs: int = 8, n_steps: int = 100, n_reps: int = 5) -> float:
+    """Multi-configuration AE training (train/multi.py): S seed
+    configurations of the flagship LSTM-AE trained SIMULTANEOUSLY in one
+    vmapped device program — the throughput axis the latency-bound
+    single-config headline leaves idle (the 320-step scan's serial chain
+    sets its step time; the MXU sits ~98% idle at the reference batch 128,
+    see the headline's ``mfu``).  The reference trains one model per
+    process (main_ae.py), so every seed study / the two analysis AEs
+    (analysis_performance_traditional_vs_ae.py:226-230) pay S sequential
+    walls.
+
+    Times the SHIPPED vmapped segment program (`_make_block_multi`, the
+    exact per-segment body ``train_ae_multi`` dispatches, validation
+    segment excluded just as the headline excludes it): one dispatch scans
+    ``n_steps`` fused train steps for all ``n_configs`` configurations.
+    Value = EFFECTIVE samples/s = n_configs * n_steps * BATCH / wall,
+    median of ``n_reps``.  The CPU baseline is ``bench_torch_cpu``
+    unchanged: the reference's sequential path trains S models in S walls,
+    so its effective samples/s IS its single-run samples/s."""
+    import statistics
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from ae_waveforms_tpu.models.registry import MODEL_REGISTRY
+    from ae_waveforms_tpu.train.multi import _make_block_multi
+    from ae_waveforms_tpu.train.optimizers import make_optimizer
+
+    S = n_configs
+    mdef = MODEL_REGISTRY["LSTMAutoencoder"]
+    optimizer = make_optimizer("adam", 1e-3)
+    init_keys = jax.random.split(jax.random.PRNGKey(0), S)
+    params = jax.vmap(lambda k: mdef.init(k, LATENT))(init_keys)
+    opt_state = jax.vmap(optimizer.init)(params)
+    rngs = jax.random.split(jax.random.PRNGKey(1), S)
+
+    n_data = 100 * BATCH
+    rng_np = np.random.default_rng(0)
+    shape = (n_data, 1, SEQ) if mdef.channel_first else (n_data, SEQ, 1)
+    data_x = jnp.asarray(rng_np.standard_normal(shape), jnp.float32)
+    # per-config index streams, one segment per dispatch: (S, 1, n_steps, B)
+    idx_blk = jnp.asarray(
+        rng_np.integers(0, n_data, size=(S, 1, n_steps, BATCH)).astype(np.int32)
+    )
+    mask_blk = jnp.ones((S, 1, n_steps, BATCH), bool)
+    # do_val=False: the validation operands are traced but unused
+    val_x = data_x[:BATCH]
+    val_idx = jnp.zeros((1, BATCH), jnp.int32)
+    val_mask = jnp.zeros((1, BATCH), bool)
+    step0s = jnp.zeros((1,), jnp.int32)
+    schedule = lambda step: jnp.asarray(1e-3, jnp.float32)  # noqa: E731
+
+    run_block = _make_block_multi(
+        mdef, optimizer, "mse", schedule, is_steplr=False,
+        val_delay=0, patience=2000, dropout_rate=0.2,
+    )
+    copy_tree = lambda t: jax.tree_util.tree_map(lambda a: a.copy(), t)  # noqa: E731
+    # every carry is donated — each needs its OWN buffer
+    carries = (params, opt_state, rngs, copy_tree(params),
+               jnp.full((S,), jnp.inf, jnp.float32),
+               jnp.zeros((S,), jnp.int32), jnp.zeros((S,), jnp.int32),
+               jnp.zeros((S,), jnp.int32),
+               jnp.zeros((S,), bool), jnp.zeros((S,), bool))
+    lr_mult = jnp.ones((S,), jnp.float32)
+
+    def dispatch():
+        nonlocal carries
+        out = run_block(*carries, lr_mult, data_x, idx_blk, mask_blk,
+                        val_x, val_idx, val_mask, step0s, do_val=False)
+        carries = out[:10]
+        losses = out[10]
+        return float(np.asarray(losses[0, -1, -1]))  # transfer == sync
+
+    dispatch()  # compile + relay warmup
+    times = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        dispatch()
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
+    print(
+        f"# multi-config train block: S={S}, {1e3 * med / n_steps:.3f} "
+        f"ms/step-for-all-{S} (median of {n_reps}; "
+        f"spread {min(times):.3f}-{max(times):.3f} s per dispatch)",
+        file=sys.stderr,
+    )
+    return S * n_steps * BATCH / med
 
 
 def bench_torch_cpu(n_steps: int = 3, n_reps: int = 3) -> float:
@@ -512,7 +609,9 @@ def _metric_flops_per_unit(metric: str):
     metrics whose work is not MXU-shaped (extraction, sigma search)."""
     from ae_waveforms_tpu.core import flops as fl
 
-    if metric == "lstm_ae_train_throughput":
+    if metric in ("lstm_ae_train_throughput", "multi_ae_train_throughput"):
+        # the multi metric's unit is EFFECTIVE samples/s across the S
+        # simultaneously-trained configs — per-sample FLOPs are identical
         return fl.lstm_ae_train_flops_per_sample(SEQ, LATENT)
     if metric == "conv_ae_train_throughput":
         return fl.conv_ae_train_flops_per_sample(LATENT)
@@ -560,6 +659,7 @@ def _emit(metric: str, value: float, unit: str, baseline: float) -> dict:
 METRICS = {
     # name -> (device_fn, host_fn, unit, subprocess timeout in seconds)
     "lstm_ae_train_throughput": (bench_tpu, bench_torch_cpu, "samples/s", 1500),
+    "multi_ae_train_throughput": (bench_multi_tpu, bench_torch_cpu, "samples/s", 1800),
     "conv_ae_train_throughput": (bench_conv_tpu, bench_conv_torch_cpu, "samples/s", 1200),
     "extraction_throughput": (bench_extraction_device, bench_extraction_host, "windows/s", 1500),
     "gbt_grid_candidates_per_s": (bench_gbt_device, bench_gbt_sklearn, "candidates/s", 1200),
