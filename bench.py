@@ -42,8 +42,21 @@ Additional lines (best-effort; each skipped on error):
                               shape (ref: main_dl_classify.py:63-105 trains
                               its 275 models sequentially)
 
+  e2e_chain_speedup           the north star (BASELINE.md: >=20x CPU
+                              end-to-end): reference-scale extract->train->
+                              classify chain walls composed from THIS RUN's
+                              measured stage rates, device vs host (ref
+                              chain: data_extract_vitaldb.py:184-219 ->
+                              main_ae.py -> analysis_PPV_hypokalaemia.py)
+
 Every metric prints {"metric", "value", "unit", "vs_baseline"}; vs_baseline
 is speedup over the reference-equivalent CPU path (higher is better).
+
+Driver-proofing (see main()): the run enforces a GLOBAL wall deadline on
+itself (AE_BENCH_WALL_S, default 1500 s) with budgeted child timeouts and a
+signal backstop; CPU baselines persist in host_baselines.json keyed by CPU
+fingerprint (measure once with `python bench.py --prime-baselines`); the
+tail re-emits every captured metric line, headline LAST.
 """
 
 from __future__ import annotations
@@ -55,6 +68,25 @@ import time
 import numpy as np
 
 BATCH, SEQ, LATENT = 128, 320, 10
+
+
+def _median_with_note(name: str, rates: list) -> float:
+    """Median of in-process rep rates + a stderr spread note, so a
+    tunnel-noise round is self-diagnosing (round 4's GBT driver number
+    swung 106 -> 72.6 candidates/s in 3 h; the spread line tells the
+    reader whether the median came from a calm or a churning relay)."""
+    import statistics
+    import sys
+
+    med = statistics.median(rates)
+    spread = (max(rates) - min(rates)) / med if med else 0.0
+    print(
+        f"# {name} reps: [" + ", ".join(f"{r:.2f}" for r in rates) + "] "
+        f"median {med:.2f}, spread {100 * spread:.0f}%"
+        + (" (relay variance high)" if spread > 0.10 else ""),
+        file=sys.stderr,
+    )
+    return med
 
 
 # --------------------------- headline: AE training ---------------------------
@@ -434,11 +466,11 @@ def bench_gbt_device(chunk: int = 96) -> float:
     kw = dict(max_depth=GBT_DEPTH, n_estimators=GBT_TREES, n_bins=64)
     np.asarray(fit_gbt_sweep_margins(*args, **kw)[1])
     rates = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         np.asarray(fit_gbt_sweep_margins(*args, **kw)[1])
         rates.append((chunk / 3) / (time.perf_counter() - t0))  # candidate = 3 CV folds
-    return sorted(rates)[1]  # median of 3
+    return _median_with_note("gbt_grid_candidates_per_s", rates)
 
 
 def bench_gbt_sklearn() -> float:
@@ -497,7 +529,7 @@ def bench_dl_device() -> float:
         t0 = time.perf_counter()
         run()
         rates.append(DL_SEEDS * DL_EPOCHS / (time.perf_counter() - t0))
-    return sorted(rates)[1]  # median of 3
+    return _median_with_note("dl_classifier_model_epochs_per_s", rates)
 
 
 def bench_dl_torch() -> float:
@@ -571,11 +603,11 @@ def bench_sigma_device(n_maps: int = 64) -> float:
     maps = np.random.default_rng(0).integers(1, 6, size=(n_maps, 12)).astype(np.float32)
     obj(maps)  # compile
     rates = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         obj(maps)
         rates.append(n_maps / (time.perf_counter() - t0))
-    return sorted(rates)[1]  # median of 3
+    return _median_with_note("sigma_eval_throughput", rates)
 
 
 def bench_sigma_host(n_maps: int = 2) -> float:
@@ -599,14 +631,33 @@ def bench_sigma_host(n_maps: int = 2) -> float:
 
 # --------------------------------- driver -----------------------------------
 
-RESULTS_JSONL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_results.jsonl")
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+RESULTS_JSONL = os.path.join(_REPO_DIR, "bench_results.jsonl")
+HOST_BASELINES_JSON = os.path.join(_REPO_DIR, "host_baselines.json")
+
+# Global wall budget the run enforces ON ITSELF.  Rounds 3 and 4 both lost
+# driver artifacts to the external wall: the per-metric subprocess timeouts
+# summed to ~3 h while the driver demonstrably killed the run at well under
+# one (BENCH_r04: rc 124, killed mid DL metric, headline re-emit never
+# fired).  Every child timeout is now budgeted out of the remaining wall,
+# metrics that no longer fit are skipped with a note, and a SIGALRM/SIGTERM
+# backstop re-emits the tail before exit no matter what.
+_DEADLINE = None  # time.monotonic() deadline; None = unbounded (manual modes)
+TAIL_RESERVE = 45.0  # seconds held back for the tail re-emit + ledger writes
+MIN_CHILD_TIMEOUT = 90.0  # below this a child can't even warm up — skip
+
+
+def _remaining() -> float:
+    if _DEADLINE is None:
+        return float("inf")
+    return _DEADLINE - time.monotonic()
 
 
 def _metric_flops_per_unit(metric: str):
     """Analytic matmul/conv FLOPs per metric unit (ae_waveforms_tpu.core.
     flops — pure Python, usable in the parent process), or None for the
-    metrics whose work is not MXU-shaped (extraction, sigma search)."""
+    metrics whose work is not MXU-shaped (extraction, sigma search, the
+    derived e2e chain)."""
     from ae_waveforms_tpu.core import flops as fl
 
     if metric in ("lstm_ae_train_throughput", "multi_ae_train_throughput"):
@@ -625,13 +676,13 @@ def _metric_flops_per_unit(metric: str):
     return None
 
 
-def _emit(metric: str, value: float, unit: str, baseline: float) -> dict:
+def _emit(metric: str, value: float, unit: str, baseline: float,
+          extra: dict = None) -> dict:
     """Print one metric line AND append it (with a timestamp) to
     ``bench_results.jsonl`` — a local ledger the driver artifact can never
     lose, whatever the tail of stdout ends up being (BENCH_r03 recorded
     nothing because the last line of the run was a failed metric's note).
-    Returns the record so ``main`` can re-emit the headline as the FINAL
-    line of the run.
+    Returns the record so ``main`` can re-emit every metric in the tail.
 
     ``mfu`` (when the metric is MXU-shaped): achieved matmul/conv FLOPs
     over the bf16 MXU peak of the target generation — the roofline column
@@ -647,6 +698,8 @@ def _emit(metric: str, value: float, unit: str, baseline: float) -> dict:
         from ae_waveforms_tpu.core.flops import mfu as _mfu
 
         rec["mfu"] = round(_mfu(value * fpu), 6)
+    if extra:
+        rec.update(extra)
     print(json.dumps(rec), flush=True)
     try:
         with open(RESULTS_JSONL, "a") as f:
@@ -656,16 +709,23 @@ def _emit(metric: str, value: float, unit: str, baseline: float) -> dict:
     return rec
 
 
+# Insertion order IS the run order under the wall budget.  The headline is
+# the driver's parse target; the DL metric runs immediately after it because
+# rounds 3+4 never landed it in any machine-readable artifact — the cheap,
+# already-proven metrics at the end are the ones a tight wall squeezes.
+# name -> (device_fn, host_fn, unit, base subprocess timeout in seconds;
+# doubled on retry, always clamped to the remaining wall)
 METRICS = {
-    # name -> (device_fn, host_fn, unit, subprocess timeout in seconds)
-    "lstm_ae_train_throughput": (bench_tpu, bench_torch_cpu, "samples/s", 1500),
-    "multi_ae_train_throughput": (bench_multi_tpu, bench_torch_cpu, "samples/s", 1800),
-    "conv_ae_train_throughput": (bench_conv_tpu, bench_conv_torch_cpu, "samples/s", 1200),
-    "extraction_throughput": (bench_extraction_device, bench_extraction_host, "windows/s", 1500),
-    "gbt_grid_candidates_per_s": (bench_gbt_device, bench_gbt_sklearn, "candidates/s", 1200),
-    "sigma_eval_throughput": (bench_sigma_device, bench_sigma_host, "sigma-maps/s", 1200),
-    "dl_classifier_model_epochs_per_s": (bench_dl_device, bench_dl_torch, "model-epochs/s", 2400),
+    "lstm_ae_train_throughput": (bench_tpu, bench_torch_cpu, "samples/s", 600),
+    "dl_classifier_model_epochs_per_s": (bench_dl_device, bench_dl_torch, "model-epochs/s", 600),
+    "multi_ae_train_throughput": (bench_multi_tpu, bench_torch_cpu, "samples/s", 480),
+    "conv_ae_train_throughput": (bench_conv_tpu, bench_conv_torch_cpu, "samples/s", 360),
+    "extraction_throughput": (bench_extraction_device, bench_extraction_host, "windows/s", 480),
+    "gbt_grid_candidates_per_s": (bench_gbt_device, bench_gbt_sklearn, "candidates/s", 420),
+    "sigma_eval_throughput": (bench_sigma_device, bench_sigma_host, "sigma-maps/s", 300),
 }
+
+HEADLINE = "lstm_ae_train_throughput"
 
 
 def _run_metric(name: str, side: str = "both") -> None:
@@ -685,8 +745,93 @@ def _run_metric(name: str, side: str = "both") -> None:
     print(json.dumps({"metric": name, "side": side, "value": fn()}), flush=True)
 
 
+# ------------------------- host-baseline cache -------------------------------
+
+def _host_key(name: str) -> str:
+    """Cache key for a metric's CPU baseline: this host's CPU-feature
+    fingerprint (core/runtime.py) + a hash of the host fn's source and the
+    workload constants — a new machine or an edited baseline re-measures
+    automatically, and metrics sharing one host fn (lstm/multi both use
+    ``bench_torch_cpu``) share one measurement."""
+    import hashlib
+    import inspect
+
+    from ae_waveforms_tpu.core.runtime import _host_cpu_fingerprint
+
+    src = inspect.getsource(METRICS[name][1])
+    consts = repr((BATCH, SEQ, LATENT, GBT_N, GBT_F, GBT_TREES, GBT_DEPTH,
+                   DL_SEEDS, DL_EPOCHS, DL_TRAIN_N, DL_VAL_N))
+    return _host_cpu_fingerprint() + "-" + hashlib.sha1(
+        (src + consts).encode()).hexdigest()[:10]
+
+
+def _host_value(name: str, retries: int = 1, force: bool = False):
+    """The torch/sklearn/numpy CPU baselines are properties of this host's
+    silicon and the pinned library stack, not of the round — re-measuring
+    every one of them each driver run burned roughly half the wall on this
+    1-CPU box.  Measured once, persisted to ``host_baselines.json``, and
+    reused until the host fingerprint or the baseline's source changes
+    (``AE_BENCH_REFRESH_BASELINES=1`` or ``--prime-baselines --refresh``
+    force a re-measure)."""
+    import sys
+
+    key = _host_key(name)
+    cache = {}
+    try:
+        with open(HOST_BASELINES_JSON) as f:
+            cache = json.load(f)
+    except (OSError, ValueError):
+        pass
+    ent = cache.get(key)
+    if ent is not None and not force and not os.environ.get("AE_BENCH_REFRESH_BASELINES"):
+        print(f"# {name}/host: cached baseline {ent['value']} "
+              f"(measured {time.strftime('%Y-%m-%d', time.gmtime(ent['ts']))}, "
+              f"key {key})", file=sys.stderr)
+        return float(ent["value"])
+    v = _run_side_isolated(name, "host", retries)
+    if v is not None:
+        cache[key] = {"value": v, "ts": round(time.time(), 1), "metric": name}
+        try:
+            with open(HOST_BASELINES_JSON, "w") as f:
+                json.dump(cache, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError:
+            pass
+    return v
+
+
+# --------------------------- child-process plumbing ---------------------------
+
+_CURRENT_CHILD = None  # live Popen, killed by the deadline backstop
+
+
+def _exec_child(argv, timeout_s: float, env):
+    """Run one side in a child process via Popen (not subprocess.run) so the
+    deadline backstop can kill a live child from the signal handler.
+    Returns (rc, stdout, stderr); raises subprocess.TimeoutExpired with the
+    partial stderr attached."""
+    global _CURRENT_CHILD
+    import subprocess
+
+    proc = subprocess.Popen(argv, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True, env=env)
+    _CURRENT_CHILD = proc
+    try:
+        out, err = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        try:
+            out, err = proc.communicate(timeout=10)
+        except Exception:
+            out, err = "", ""
+        raise subprocess.TimeoutExpired(argv, timeout_s, output=out, stderr=err)
+    finally:
+        _CURRENT_CHILD = None
+    return proc.returncode, out, err
+
+
 def _run_side_isolated(name: str, side: str, retries: int):
-    """Run one side of a metric in a subprocess with a hard timeout.
+    """Run one side of a metric in a subprocess with a budgeted timeout.
 
     The tunnelled TPU worker has two observed failure modes, and both
     require process isolation: (a) mid-session crashes (UNAVAILABLE) poison
@@ -694,18 +839,18 @@ def _run_side_isolated(name: str, side: str, retries: int):
     including ``jax.devices()`` itself — BLOCK for tens of minutes, which
     no in-process try/except can catch.  Each side therefore runs in its
     own subprocess; a hang costs its timeout, not the whole bench run.
-    The base timeout is sized for a warm persistent compilation cache and
-    DOUBLES after the first attempt: a cold compile that outlives the base
-    budget is killed before the cache is written, so the retry must leave
-    room for the same cold compile to finish once.
+    The base timeout DOUBLES after the first attempt (a cold compile that
+    outlives the base budget is killed before the persistent cache is
+    written, so the retry must leave room for the same cold compile to
+    finish once) — and every attempt's timeout is clamped to the remaining
+    global wall, so no child can outlive the run's own deadline.
 
     The ``host`` side runs with the axon relay env stripped and
     ``JAX_PLATFORMS=cpu``: the baseline is the reference-equivalent path on
     THIS MACHINE'S CPU, so it must neither borrow the accelerator for its
     jitted helpers (extract_case's QC/R-peak kernels would otherwise run on
     the default backend) nor block on a relay outage.  Returns the measured
-    value, or None when every attempt failed."""
-    import os
+    value, or None when every attempt failed or the wall ran out."""
     import subprocess
     import sys
 
@@ -717,22 +862,31 @@ def _run_side_isolated(name: str, side: str, retries: int):
     base = METRICS[name][3]
     for attempt in range(retries + 1):
         if attempt:
-            time.sleep(60 * attempt)  # outages last minutes; back off
-        timeout_s = base * (2 if attempt else 1)
+            backoff = 60 * attempt  # outages last minutes; back off
+            if _remaining() - backoff < TAIL_RESERVE + MIN_CHILD_TIMEOUT:
+                print(f"# {name}/{side}: wall budget exhausted before retry "
+                      f"{attempt}", file=sys.stderr)
+                return None
+            time.sleep(backoff)
+        timeout_s = min(base * (2 if attempt else 1), _remaining() - TAIL_RESERVE)
+        if timeout_s < MIN_CHILD_TIMEOUT:
+            print(f"# {name}/{side}: wall budget exhausted "
+                  f"({_remaining():.0f}s left)", file=sys.stderr)
+            return None
         try:
-            proc = subprocess.run(
+            rc, out, err = _exec_child(
                 [sys.executable, __file__, "--metric", name, "--side", side],
-                capture_output=True, text=True, timeout=timeout_s, env=env,
+                timeout_s, env,
             )
         except subprocess.TimeoutExpired as e:
             if e.stderr:
                 err = e.stderr if isinstance(e.stderr, str) else e.stderr.decode(errors="replace")
                 sys.stderr.write(err[-2000:])
             print(f"# {name}/{side} attempt {attempt}: timed out after "
-                  f"{timeout_s}s (relay hang?)", file=sys.stderr)
+                  f"{timeout_s:.0f}s (relay hang?)", file=sys.stderr)
             continue
-        sys.stderr.write(proc.stderr)
-        for line in proc.stdout.splitlines():
+        sys.stderr.write(err)
+        for line in out.splitlines():
             if not line.startswith('{"metric"'):
                 continue
             try:
@@ -741,61 +895,207 @@ def _run_side_isolated(name: str, side: str, retries: int):
                 continue
             if rec.get("metric") == name and rec.get("side") == side:
                 return float(rec["value"])
-        print(f"# {name}/{side} attempt {attempt}: rc={proc.returncode}, "
+        print(f"# {name}/{side} attempt {attempt}: rc={rc}, "
               "no result line", file=sys.stderr)
     return None
 
 
 def _run_metric_isolated(name: str, retries: int):
     """One metric end-to-end: device side first (the flaky, retried part),
-    then the deterministic CPU baseline once in its own subprocess — so a
-    baseline rerun never discards a completed device measurement, and a
-    device failure skips the baseline's cost entirely.  Returns the emitted
-    record, or None when either side failed."""
+    then the CPU baseline — from the persistent cache when this host has
+    measured it before, else once in its own subprocess.  A baseline rerun
+    never discards a completed device measurement, and a device failure
+    skips the baseline's cost entirely.  Returns the emitted record, or
+    None when either side failed."""
     dev = _run_side_isolated(name, "device", retries)
     if dev is None:
         return None
-    host = _run_side_isolated(name, "host", retries=1)
+    host = _host_value(name, retries=1)
     if host is None:
         return None
     return _emit(name, dev, METRICS[name][2], host)
 
 
-HEADLINE = "lstm_ae_train_throughput"
+# ------------------------- derived end-to-end metric -------------------------
+
+# Reference-scale chain workload, in this bench's own metric units — the
+# pipeline the reference runs end-to-end (data_extract_vitaldb.py:184-219 ->
+# main_ae.py -> main_ae_classify.py / analysis_PPV_hypokalaemia.py:95-110):
+#   extract   250,000 20-s windows (the production cohort, BASELINE.md)
+#   train     10 epochs x 228,543 train samples (run_train.py:472 target,
+#             main_ae.py:58-66 defaults: batch 128, 10 epochs)
+#   classify  1000-candidate LHS x 3-fold grid search + 275-fit size/seed
+#             sweep + 25-fit PPV = 1100 candidate-units of 3 fits each,
+#             x ~2.55 tree-count scaling (the LHS grid draws n_estimators
+#             uniformly over 50..550, mean ~300 vs this metric's 100-tree
+#             fit; both sides' fit cost is linear in trees, measured)
+# The AE test pass + latent export is excluded from BOTH sides (<1% of
+# either side's wall: 15 s on device at scale, BENCHMARKS.md).
+E2E_WORKLOAD = {
+    "extraction_throughput": 250_000.0,       # windows
+    "lstm_ae_train_throughput": 2_285_430.0,  # samples
+    "gbt_grid_candidates_per_s": 2_805.0,     # 100-tree 3-fold candidate-units
+}
+
+
+def _latest_ledger_record(metric: str):
+    try:
+        with open(RESULTS_JSONL) as f:
+            lines = f.read().splitlines()
+    except OSError:
+        return None
+    for ln in reversed(lines):
+        try:
+            rec = json.loads(ln)
+        except ValueError:
+            continue
+        if rec.get("metric") == metric and rec.get("vs_baseline"):
+            return rec
+    return None
+
+
+def _emit_e2e(records: dict):
+    """The north-star metric (BASELINE.md: >=20x CPU end-to-end), derived
+    from THIS RUN's measured stage rates: reference-scale stage walls =
+    workload / measured rate, per side, summed over extract -> train ->
+    classify.  Both sides' rates come from the same records (device value,
+    host = value / vs_baseline), so the ratio is a pure composition of
+    same-run measurements; each stage's per-dispatch overhead is already
+    inside its measured rate (the stage benches time the SHIPPED chunked
+    programs end-to-end, sync included).  Falls back to the newest
+    ``bench_results.jsonl`` entry for a stage this run failed to measure
+    (flagged in the record as ``stale_stages``)."""
+    import sys
+
+    dev_wall = host_wall = 0.0
+    stale = []
+    stages = {}
+    for metric, work in E2E_WORKLOAD.items():
+        rec = records.get(metric)
+        if rec is None:
+            rec = _latest_ledger_record(metric)
+            if rec is None:
+                print(f"# e2e_chain_speedup skipped: no measurement for "
+                      f"{metric}", file=sys.stderr)
+                return None
+            stale.append(metric)
+        dev_rate = float(rec["value"])
+        host_rate = dev_rate / float(rec["vs_baseline"])
+        dev_wall += work / dev_rate
+        host_wall += work / host_rate
+        stages[metric] = {"device_s": round(work / dev_rate, 1),
+                          "host_s": round(work / host_rate, 1)}
+    print("# e2e stage walls at reference scale: " + json.dumps(stages),
+          file=sys.stderr)
+    extra = {"device_wall_s": round(dev_wall, 1),
+             "host_wall_s": round(host_wall, 1)}
+    if stale:
+        extra["stale_stages"] = stale
+    return _emit("e2e_chain_speedup", host_wall / dev_wall, "x", 1.0, extra=extra)
+
+
+# ------------------------------ tail + backstop -------------------------------
+
+_TAIL_DONE = False
+
+
+def _print_tail(records: dict) -> None:
+    """Re-emit EVERY captured metric line as the tail of the run, headline
+    LAST — the driver parses the tail of the output, so this guarantees all
+    metrics are in it and the parsed line is the headline.  (BENCH_r03 lost
+    the parse to ordering, BENCH_r04 to the external wall; the wall budget
+    plus this tail make both impossible.)  The final line goes to BOTH
+    streams; nothing may print after it."""
+    global _TAIL_DONE
+    import sys
+
+    if _TAIL_DONE or not records:
+        return
+    _TAIL_DONE = True
+    names = [n for n in records if n != HEADLINE]
+    if HEADLINE in records:
+        names.append(HEADLINE)
+    for n in names:
+        print(json.dumps(records[n]), flush=True)
+    print(json.dumps(records[names[-1]]), file=sys.stderr, flush=True)
+
+
+def _install_backstop(records: dict, wall_s: float) -> None:
+    """SIGALRM at the wall + SIGTERM handler: kill any live child, emit the
+    tail, exit.  Even if a child blocks past every budgeted timeout (or the
+    driver TERMs the run first), the tail still lands in the output."""
+    import signal
+    import sys
+
+    def handler(signum, frame):
+        child = _CURRENT_CHILD
+        if child is not None:
+            try:
+                child.kill()
+            except Exception:
+                pass
+        print(f"# deadline backstop fired (signal {signum}); emitting tail",
+              file=sys.stderr, flush=True)
+        if not records:
+            os._exit(1)
+        _print_tail(records)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, handler)
+    try:
+        signal.signal(signal.SIGALRM, handler)
+        signal.alarm(max(1, int(wall_s)))
+    except (AttributeError, ValueError):
+        pass  # non-POSIX: budgeted child timeouts remain the only guard
 
 
 def main():
-    """Output contract with the driver (which parses the TAIL of the run):
-    the headline metric line is the FINAL line written to BOTH stdout and
-    stderr, re-emitted after every other metric has run; metric failures
-    only ever print BEFORE it.  BENCH_r03 recorded `parsed: null` because
-    the headline printed first and a failed metric's note printed last —
-    this ordering makes that impossible.  Every metric line is additionally
-    appended to ``bench_results.jsonl`` (see ``_emit``)."""
+    """Driver entry.  Contract (BENCH_r05 must have rc 0, the headline as
+    the parsed tail line, and every metric incl. DL + the derived e2e chain
+    in the tail):
+
+    1. a GLOBAL deadline this process enforces on itself
+       (``AE_BENCH_WALL_S``, default 1500 s — under any observed driver
+       wall); child timeouts are budgeted out of it, and a signal backstop
+       re-emits the tail if anything blocks anyway;
+    2. CPU baselines come from the persistent host cache when available
+       (measured once per host, ``--prime-baselines`` pre-populates);
+    3. run order = METRICS order: headline, then the DL metric, then the
+       cheap proven ones (the skippable tail of the budget);
+    4. after all metrics, the derived ``e2e_chain_speedup`` line;
+    5. the tail re-emits every captured metric, headline LAST, on both
+       stdout and stderr."""
+    global _DEADLINE
     import sys
 
-    # headline first: the driver's primary line, worth the longest retry.
-    # Emitted immediately (so a later crash still leaves the line) and
-    # re-emitted at the very end as the tail line the driver parses.
+    wall = float(os.environ.get("AE_BENCH_WALL_S", "1500"))
+    _DEADLINE = time.monotonic() + wall
+    records = {}
+    _install_backstop(records, wall)
     headline_rec = _run_metric_isolated(HEADLINE, retries=4)
-    last_rec = headline_rec
+    if headline_rec is not None:
+        records[HEADLINE] = headline_rec
     for name in METRICS:
         if name == HEADLINE:
+            continue
+        if _remaining() < TAIL_RESERVE + MIN_CHILD_TIMEOUT:
+            print(f"# {name} skipped: wall budget exhausted "
+                  f"({_remaining():.0f}s left)", file=sys.stderr)
             continue
         rec = _run_metric_isolated(name, retries=1)
         if rec is None:
             print(f"# {name} skipped after retries", file=sys.stderr)
         else:
-            last_rec = rec if headline_rec is None else last_rec
-    final = headline_rec or last_rec  # degrade to any successful metric
-    if final is None:
+            records[name] = rec
+    e2e = _emit_e2e(records)
+    if e2e is not None:
+        records["e2e_chain_speedup"] = e2e
+    if not records:
         raise RuntimeError("TPU benchmarks failed after retries: no metric "
                            "produced a value")
-    line = json.dumps(final)
-    print(line, flush=True)
-    print(line, file=sys.stderr, flush=True)
-    if headline_rec is None:
-        # non-zero exit AFTER the tail line: the driver still gets the best
+    _print_tail(records)
+    if HEADLINE not in records:
+        # non-zero exit AFTER the tail: the driver still gets the best
         # available record even on a headline outage
         sys.exit(f"# headline {HEADLINE} failed after retries; tail line "
                  "degraded to a non-headline metric")
@@ -816,6 +1116,13 @@ if __name__ == "__main__":
                 sys.exit("usage: bench.py --metric <name> [--side device|host]")
             side = sys.argv[j + 1]
         _run_metric(sys.argv[i + 1], side)
+    elif "--prime-baselines" in sys.argv:
+        # measure every CPU baseline once (unbounded wall) and persist them;
+        # subsequent driver runs then spend the whole wall on device sides
+        force = "--refresh" in sys.argv
+        for _name in METRICS:
+            _v = _host_value(_name, retries=1, force=force)
+            print(f"# {_name} host baseline: {_v}", flush=True)
     elif "--tpu-only" in sys.argv:  # kept for older drivers / manual probes
         from ae_waveforms_tpu.core.runtime import enable_compilation_cache
 
