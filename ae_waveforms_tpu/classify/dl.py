@@ -44,6 +44,11 @@ NUM_EPOCHS = 153
 #     6.6 (S=8), 6.0 (S=12) model-epochs/s, sharply worse at 16+ — the
 #     wide programs thrash HBM before they kill the worker.
 # 8 is both the measured optimum and a 2x-plus margin under the cliff.
+# Since round 5 this constant is the CALIBRATION ANCHOR, not the live cap:
+# ``train_classifier_multi`` computes its cap from the call's own shapes via
+# the analytic HBM model (core/hbm.py), which reproduces 8 at this bench
+# shape by construction; tests/test_dl_multi.py keeps model and bisection
+# pinned to each other.
 DL_TPU_SEED_CHUNK = 8
 
 
@@ -298,9 +303,20 @@ def train_classifier_multi(
     S_real = len(seeds)
 
     if max_seed_chunk is None:
-        max_seed_chunk = (
-            DL_TPU_SEED_CHUNK if jax.default_backend() == "tpu" else 0
-        )
+        if jax.default_backend() == "tpu":
+            # analytic HBM gate (core/hbm.py): the cap is computed from THIS
+            # call's shapes, so bigger batches / longer sequences shrink it
+            # instead of rediscovering the crash cliff; reproduces the
+            # bisected DL_TPU_SEED_CHUNK = 8 at the calibration shape
+            from ae_waveforms_tpu.core.hbm import seed_axis_cap
+
+            max_seed_chunk = seed_axis_cap(
+                Xs.shape[1], Xvs.shape[1], Xs.shape[2], batch_size,
+                hidden_sizes=(128, 64, 64), param_count=152_400,
+                remat_chunk=remat_chunk or 0,
+            )
+        else:
+            max_seed_chunk = 0
     cap = max_seed_chunk * (mesh.shape["data"] if mesh is not None else 1)
     if cap and S_real > cap:
         n_groups = math.ceil(S_real / cap)

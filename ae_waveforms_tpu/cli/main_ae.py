@@ -71,6 +71,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "crossed with --seeds/--lr_sweep, one vmapped "
                         "program per latent size (the analysis pair "
                         "d=10 + d=20 in one command)")
+    p.add_argument("--per_config_splits", type=bool, default=False,
+                   help="multi-config runs: redraw the patient split under "
+                        "each config's seed (what sequential seed studies "
+                        "do, main_ae.py:128-133) instead of sharing one "
+                        "cfg.seed split")
+    p.add_argument("--multi_checkpoint_every", type=int, default=0,
+                   help="multi-config runs: write the full stacked train "
+                        "state to results_dir/multi_checkpoint.npz every K "
+                        "dispatches (0 = off)")
+    p.add_argument("--multi_resume_dir", type=str, default="",
+                   help="multi-config runs: resume bit-compatibly from a "
+                        "multi_checkpoint.npz written by a previous "
+                        "--multi_checkpoint_every run")
     return p
 
 
@@ -130,6 +143,12 @@ def autoencoder(custom_args: Optional[List[str]] = None):
                      if args.seeds.strip() else [cfg.seed])
             mults = ([float(m) for m in args.lr_sweep.split(",") if m.strip()]
                      if args.lr_sweep.strip() else [1.0])
+            multi_kw = dict(per_config_splits=bool(args.per_config_splits))
+            if args.multi_checkpoint_every:
+                multi_kw.update(checkpoint_every=args.multi_checkpoint_every,
+                                results_dir=cfg.results_dir)
+            if args.multi_resume_dir.strip():
+                multi_kw.update(resume_dir=args.multi_resume_dir.strip())
             if args.latent_sizes.strip():
                 latents = [int(d_) for d_ in args.latent_sizes.split(",") if d_.strip()]
                 # full (latent x seed x multiplier) cross, one vmapped
@@ -137,7 +156,7 @@ def autoencoder(custom_args: Optional[List[str]] = None):
                 by_latent = train_ae_multi_grouped(
                     cfg,
                     [(d_, s, m) for d_ in latents for s in seeds for m in mults],
-                    save_runs=True,
+                    save_runs=True, **multi_kw,
                 )
                 run_dirs = []
                 for d_ in latents:
@@ -152,7 +171,7 @@ def autoencoder(custom_args: Optional[List[str]] = None):
             cross_seeds = [s for s in seeds for _ in mults]
             cross_mults = [m for _ in seeds for m in mults]
             res = train_ae_multi(cfg, cross_seeds, lr_multipliers=cross_mults,
-                                 save_runs=True)
+                                 save_runs=True, **multi_kw)
             for s, m, d_, v in zip(res.seeds, res.lr_multipliers,
                                    res.run_dirs, res.best_val):
                 print(f"Training done (seed {s}, lr x{m:g}, "

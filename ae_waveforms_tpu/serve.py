@@ -47,6 +47,15 @@ class Scorer:
     model_class: str
     gbt: Optional[object] = None
 
+    def __post_init__(self):
+        # serving latency work: params live on device from construction —
+        # otherwise every request re-uploads the host copy — and compiled
+        # programs persist across processes like every CLI entry point
+        from ae_waveforms_tpu.core.runtime import enable_compilation_cache
+
+        enable_compilation_cache()
+        self.params = jax.device_put(self.params)
+
     @classmethod
     def from_run(cls, results_dir: str, run_name: str, cfg: TrainConfig) -> "Scorer":
         import os
@@ -60,6 +69,16 @@ class Scorer:
     def attach_gbt(self, classifier) -> "Scorer":
         self.gbt = classifier
         return self
+
+    def warmup(self, bucket: int = 64) -> float:
+        """Compile (or load from the persistent cache) the scoring program
+        for one bucket size before the first request; returns the wall
+        seconds spent — the cold-start cost a deployment pays once."""
+        import time
+
+        t0 = time.perf_counter()
+        self.score(np.zeros((1, 320), np.float32), bucket=bucket)
+        return time.perf_counter() - t0
 
     def score(self, waves: np.ndarray, bucket: int = 64) -> Dict[str, np.ndarray]:
         """waves: (B, 320) raw median beats -> dict with reconstruction,

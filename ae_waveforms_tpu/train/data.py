@@ -23,7 +23,34 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["split_datasets", "save_subject_ids", "layout_waves"]
+__all__ = ["draw_split_masks", "split_datasets", "save_subject_ids", "layout_waves"]
+
+
+def draw_split_masks(
+    case_ids: np.ndarray,
+    val_fraction: float,
+    test_fraction: float,
+    nr_train_ids: int = 0,
+) -> dict:
+    """One patient-level split draw from the CURRENT global ``np.random``
+    state — exactly the fresh-draw branch of ``split_datasets``
+    (load_data.py:137-143: per-unique-case-id categorical choice, then the
+    optional ``nr_train_ids`` subsample at :121-126).  Factored out so the
+    multi-config trainer's per-config splits consume the identical draw the
+    sequential path performs under each seed (main_ae.py:128-133 seeds the
+    global stream, then split_datasets draws from it)."""
+    train_fraction = round(1.0 - val_fraction - test_fraction, 2)
+    unique_ids = np.unique(case_ids)
+    assignment = np.random.choice(
+        ["train", "val", "test"], size=len(unique_ids),
+        p=[train_fraction, val_fraction, test_fraction],
+    )
+    masks = {s: np.isin(case_ids, unique_ids[assignment == s])
+             for s in ("train", "val", "test")}
+    if nr_train_ids and nr_train_ids > 0 and len(unique_ids) > nr_train_ids:
+        selected = np.random.choice(unique_ids, size=nr_train_ids, replace=False)
+        masks["train"] = masks["train"] & np.isin(case_ids, selected)
+    return masks
 
 
 def split_datasets(
@@ -46,15 +73,9 @@ def split_datasets(
     if all(cached.values()):
         masks = {s: np.load(cached[s][0]) for s in cached}
     else:
-        train_fraction = round(1.0 - val_fraction - test_fraction, 2)
-        unique_ids = np.unique(case_ids)
-        assignment = np.random.choice(
-            ["train", "val", "test"], size=len(unique_ids), p=[train_fraction, val_fraction, test_fraction]
-        )
-        masks = {}
-        for s in ("train", "val", "test"):
-            chosen = unique_ids[assignment == s]
-            masks[s] = np.isin(case_ids, chosen)
+        # nr_train_ids stays below (it must apply to CACHED masks too, and
+        # its rng draw follows the assignment draw in the global stream)
+        masks = draw_split_masks(case_ids, val_fraction, test_fraction)
         stamp = time.strftime("%y%m%d")
         os.makedirs(dataset_dir, exist_ok=True)
         for s in masks:

@@ -31,6 +31,7 @@ and cannot share one vmap — group per latent size and call once per group
 from __future__ import annotations
 
 import glob
+import json
 import math
 import os
 import shutil
@@ -48,7 +49,7 @@ from ae_waveforms_tpu.core.config import TrainConfig
 from ae_waveforms_tpu.core.schema import ArraySet, load_arrays
 from ae_waveforms_tpu.models.registry import MODEL_REGISTRY
 from ae_waveforms_tpu.parallel.mesh import data_mesh
-from ae_waveforms_tpu.train.data import layout_waves, split_datasets
+from ae_waveforms_tpu.train.data import draw_split_masks, layout_waves, split_datasets
 from ae_waveforms_tpu.train.loop import (
     _batched_indices,
     _elementwise_loss,
@@ -200,18 +201,131 @@ def _make_block_multi(mdef, optimizer, loss_kind, schedule, is_steplr,
             return carry + (losses, lrs, val_losses)
 
         # leading config axis on the train/ES carries, lr multiplier and the
-        # per-config index streams; the dataset, validation batches and step
-        # counters are shared
+        # per-config train AND validation index streams; the dataset arrays
+        # and step counters are shared (per-config splits index the full
+        # dataset with absolute rows, so even distinct memberships batch)
         return jax.jit(
             jax.vmap(
                 block_core,
-                in_axes=(0,) * 11 + (None, 0, 0, None, None, None, None),
+                in_axes=(0,) * 11 + (None, 0, 0, None, 0, 0, None),
             ),
             donate_argnums=tuple(range(10)),
         )
 
     runners = {True: make_runner(True), False: make_runner(False)}
     return lambda *args, do_val: runners[do_val](*args)
+
+
+def _config_axis_cap(model_class: str, latent: int, batch: int,
+                     n_rows: int, seq_len: int) -> int:
+    """Per-device HBM feasibility cap on the vmapped config axis
+    (core/hbm.py, safety=1: this is crash avoidance, not throughput
+    shaping — the measured flagship optimum S=8 sits well inside).  The
+    conv family has no scan and ~2-orders-smaller activations: uncapped."""
+    if "LSTM" not in model_class:
+        return 0
+    from ae_waveforms_tpu.core.hbm import seed_axis_cap
+
+    ins = (1, 128, 64, latent, 64, 128)
+    hidden = (128, 64, latent, 64, 128, 1)
+    p_count = sum(4 * h * (i + h + 2) for i, h in zip(ins, hidden)) + 2
+    shared = 4 * n_rows * seq_len  # ONE replicated dataset for all configs
+    return seed_axis_cap(0, 0, seq_len, batch, hidden, p_count,
+                         remat_chunk=0, safety=1.0, shared_bytes=shared)
+
+
+def _merge_multi_results(parts: List[MultiTrainResult]) -> MultiTrainResult:
+    """Concatenate per-group results back into one study (groups that
+    early-stopped sooner NaN-pad their history tails)."""
+    def padcat(arrs: List[np.ndarray]) -> np.ndarray:
+        L = max(a.shape[0] for a in arrs)
+        return np.concatenate(
+            [np.pad(a.astype(np.float32), ((0, L - a.shape[0]), (0, 0)),
+                    constant_values=np.nan) for a in arrs], axis=1)
+
+    best_params = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
+        *[p.best_params for p in parts])
+    run_dirs = None
+    if parts[0].run_dirs is not None:
+        run_dirs = [d for p in parts for d in p.run_dirs]
+    return MultiTrainResult(
+        seeds=[s for p in parts for s in p.seeds],
+        best_params=best_params,
+        best_val=np.concatenate([p.best_val for p in parts]),
+        ever_improved=np.concatenate([p.ever_improved for p in parts]),
+        stopped=np.concatenate([p.stopped for p in parts]),
+        train_losses=padcat([p.train_losses for p in parts]),
+        val_losses=padcat([p.val_losses for p in parts]),
+        run_dirs=run_dirs,
+        lr_multipliers=np.concatenate([p.lr_multipliers for p in parts]),
+    )
+
+
+def _multi_ckpt_paths(dir_: str, latent_size: int, tag: str = "") -> Tuple[str, str]:
+    # keyed by latent size (and group tag for auto-split wide studies) so
+    # grouped runs don't overwrite each other's checkpoints in one
+    # results_dir
+    base = os.path.join(dir_, f"multi_checkpoint_d{latent_size}{tag}")
+    return base + ".npz", base + ".meta.json"
+
+
+def _save_multi_ckpt(dir_: str, carries: Tuple, train_hist, val_hist,
+                     meta: dict) -> None:
+    """Atomically persist the FULL stacked multi-config train state: every
+    device carry (params, optimizer state, rng keys, best snapshots,
+    early-stop/plateau counters) plus the loss histories and the host loop
+    position.  tmp-file + rename, so a kill mid-write leaves the previous
+    checkpoint intact."""
+    npz_path, meta_path = _multi_ckpt_paths(dir_, meta["latent_size"],
+                                            meta.get("tag", ""))
+    leaves = jax.tree_util.tree_leaves(carries)
+    arrs = {f"c{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    S = len(meta["seeds"])
+    arrs["thist"] = (np.concatenate(train_hist, axis=0)
+                     if train_hist else np.zeros((0, S), np.float32))
+    arrs["vhist"] = (np.concatenate(val_hist, axis=0)
+                     if val_hist else np.zeros((0, S), np.float32))
+    tmp = npz_path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrs)
+    os.replace(tmp, npz_path)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+
+
+def _load_multi_ckpt(dir_: str, carry_template: Tuple, seeds, lr_mults,
+                     cfg: TrainConfig, n_train: int,
+                     tag: str = "") -> Tuple[Tuple, dict]:
+    """Restore a ``_save_multi_ckpt`` state.  The carry pytree is rebuilt
+    against the freshly initialised template (same cfg + seeds => identical
+    structure/shapes), and the run fingerprint is checked so a checkpoint
+    can never silently resume a DIFFERENT study."""
+    npz_path, meta_path = _multi_ckpt_paths(dir_, cfg.latent_size, tag)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    fingerprint = dict(seeds=seeds, lr_mults=[float(m) for m in lr_mults],
+                       model_class=cfg.model_class,
+                       latent_size=cfg.latent_size,
+                       batch_size=cfg.batch_size, n_train=n_train)
+    for k, v in fingerprint.items():
+        if meta.get(k) != v:
+            raise ValueError(
+                f"multi checkpoint mismatch on {k!r}: saved {meta.get(k)!r}, "
+                f"this run {v!r} — refusing to resume a different study")
+    data = np.load(npz_path)
+    tpl_leaves, treedef = jax.tree_util.tree_flatten(carry_template)
+    loaded = [data[f"c{i}"] for i in range(len(tpl_leaves))]
+    for tpl, got in zip(tpl_leaves, loaded):
+        if tuple(tpl.shape) != tuple(got.shape):
+            raise ValueError(
+                f"multi checkpoint leaf shape mismatch: saved {got.shape}, "
+                f"template {tpl.shape}")
+    meta["thist"] = data["thist"]
+    meta["vhist"] = data["vhist"]
+    return jax.tree_util.tree_unflatten(treedef, loaded), meta
 
 
 @jax.jit
@@ -237,6 +351,11 @@ def train_ae_multi(
     segments_per_dispatch: int = 8,
     results_dir: Optional[str] = None,
     save_runs: bool = False,
+    per_config_splits: bool = False,
+    checkpoint_every: Optional[int] = None,
+    resume_dir: Optional[str] = None,
+    max_config_chunk: Optional[int] = None,
+    _ckpt_tag: str = "",
 ) -> MultiTrainResult:
     """Train ``len(seeds)`` configurations of ``cfg.model_class`` at
     ``cfg.latent_size`` simultaneously; see the module docstring for the
@@ -251,6 +370,23 @@ def train_ae_multi(
     (best-params checkpoint + split masks), so ``main_test`` / ``Scorer``
     consume a multi-run exactly like a ``main_train`` run; the dirs come
     back in ``MultiTrainResult.run_dirs``.
+
+    ``per_config_splits=True`` redraws the patient-level split UNDER EACH
+    CONFIG'S SEED — what a sequential seed study actually does
+    (main_ae.py:128-133 seeds numpy globally before split_datasets, so
+    every seed sees different train/val/test membership); the default
+    shares one ``cfg.seed`` split (a fixed-split study).  To keep one
+    fixed-shape vmapped program, per-config memberships are size-equalised
+    to the smallest per-split count across configs (tail rows of the larger
+    draws dropped — the only deviation, documented in BENCHMARKS.md with
+    the measured shared- vs per-config spread).
+
+    ``checkpoint_every=K`` writes the full stacked train state (params +
+    optimizer + rng + early-stop carries + histories) to
+    ``results_dir/multi_checkpoint.npz`` every K dispatches, atomically;
+    ``resume_dir`` restores it and continues BIT-COMPATIBLY — a crashed
+    25-seed study resumes from its last checkpoint instead of from zero
+    (the DL crash cliff proved mid-sweep worker death is a real mode).
     """
     seeds = [int(s) for s in seeds]
     S_real = len(seeds)
@@ -259,26 +395,50 @@ def train_ae_multi(
     lr_mults = list(lr_multipliers) if lr_multipliers is not None else [1.0] * S_real
     if len(lr_mults) != S_real:
         raise ValueError("lr_multipliers must match seeds")
+    if checkpoint_every is not None and results_dir is None:
+        raise ValueError("checkpoint_every needs results_dir (checkpoint home)")
 
     mdef = MODEL_REGISTRY[cfg.model_class]
     if arrays is None:
         arrays = load_arrays(cfg.dataset_dir)
 
-    # ONE split for every configuration, drawn from cfg.seed exactly as
-    # main_train draws it (np.random.seed then the patient-level choice)
-    np.random.seed(cfg.seed)
-    mask_dir = results_dir or tempfile.mkdtemp(prefix="ae_multi_")
-    os.makedirs(mask_dir, exist_ok=True)
-    tr_mask, va_mask, te_mask = split_datasets(
-        arrays.info, cfg.dataset_dir, mask_dir,
-        cfg.split_size_val, cfg.split_size_test, cfg.nr_train_ids,
-    )
-    n_train, n_val = int(tr_mask.sum()), int(va_mask.sum())
-    if n_train == 0 or n_val == 0:
-        raise ValueError(f"empty split (train={n_train}, val={n_val})")
-
     if mesh is None and cfg.n_devices:
         mesh = data_mesh(cfg.n_devices, cfg.model_parallel)
+
+    # analytic HBM feasibility gate (core/hbm.py): a config axis wider than
+    # the per-device budget splits into balanced sequential groups BEFORE
+    # dispatch — the DL crash cliff proved the alternative is an
+    # unrecoverable worker death mid-study
+    if max_config_chunk is None:
+        max_config_chunk = (
+            _config_axis_cap(cfg.model_class, cfg.latent_size,
+                             cfg.batch_size, len(arrays.info),
+                             int(arrays.waves.shape[1]))
+            if jax.default_backend() == "tpu" else 0
+        )
+    allowed = max_config_chunk * (mesh.shape["data"] if mesh is not None else 1)
+    if max_config_chunk and S_real > allowed:
+        n_groups = math.ceil(S_real / allowed)
+        base, extra = divmod(S_real, n_groups)
+        sizes = [base + 1] * extra + [base] * (n_groups - extra)
+        parts, o = [], 0
+        for gi, sz in enumerate(sizes):
+            sl = slice(o, o + sz)
+            o += sz
+            parts.append(train_ae_multi(
+                cfg, seeds[sl], arrays=arrays, lr_multipliers=lr_mults[sl],
+                mesh=mesh, max_steps=max_steps,
+                segments_per_dispatch=segments_per_dispatch,
+                results_dir=results_dir, save_runs=save_runs,
+                per_config_splits=per_config_splits,
+                checkpoint_every=checkpoint_every, resume_dir=resume_dir,
+                max_config_chunk=max_config_chunk,
+                _ckpt_tag=f"{_ckpt_tag}-g{gi}",
+            ))
+        return _merge_multi_results(parts)
+
+    mask_dir = results_dir or tempfile.mkdtemp(prefix="ae_multi_")
+    os.makedirs(mask_dir, exist_ok=True)
     pad = 0
     if mesh is not None:
         n_data = mesh.shape["data"]
@@ -286,6 +446,41 @@ def train_ae_multi(
         seeds = seeds + [seeds[-1]] * pad
         lr_mults = lr_mults + [lr_mults[-1]] * pad
     S = len(seeds)
+
+    per_masks = None
+    train_rows = val_rows = None
+    if per_config_splits:
+        # the sequential chain under each seed: np.random.seed(seed) then
+        # the patient-level draw (duplicated seeds redraw identically)
+        per_masks = []
+        for s_ in seeds:
+            np.random.seed(s_)
+            per_masks.append(draw_split_masks(
+                arrays.info[:, 0], cfg.split_size_val, cfg.split_size_test,
+                cfg.nr_train_ids,
+            ))
+        n_train = min(int(m["train"].sum()) for m in per_masks)
+        n_val = min(int(m["val"].sum()) for m in per_masks)
+        if n_train == 0 or n_val == 0:
+            raise ValueError(f"empty split (train={n_train}, val={n_val})")
+        # absolute dataset rows per config, size-equalised (see docstring)
+        train_rows = np.stack(
+            [np.flatnonzero(m["train"])[:n_train] for m in per_masks]
+        ).astype(np.int32)
+        val_rows = np.stack(
+            [np.flatnonzero(m["val"])[:n_val] for m in per_masks]
+        ).astype(np.int32)
+    else:
+        # ONE split for every configuration, drawn from cfg.seed exactly as
+        # main_train draws it (np.random.seed then the patient-level choice)
+        np.random.seed(cfg.seed)
+        tr_mask, va_mask, te_mask = split_datasets(
+            arrays.info, cfg.dataset_dir, mask_dir,
+            cfg.split_size_val, cfg.split_size_test, cfg.nr_train_ids,
+        )
+        n_train, n_val = int(tr_mask.sum()), int(va_mask.sum())
+        if n_train == 0 or n_val == 0:
+            raise ValueError(f"empty split (train={n_train}, val={n_val})")
 
     if mesh is not None:
         cfg_sharding = NamedSharding(mesh, P("data"))
@@ -301,8 +496,14 @@ def train_ae_multi(
         put_cfg = jnp.asarray
 
     x_all = layout_waves(np.asarray(arrays.waves, np.float32), mdef.channel_first)
-    train_x = put_repl(x_all[tr_mask])
-    val_x = put_repl(x_all[va_mask])
+    if per_config_splits:
+        # one replicated copy of the full dataset; every config gathers its
+        # OWN membership from it with absolute row indices (train and val)
+        train_x = put_repl(x_all)
+        val_x = train_x
+    else:
+        train_x = put_repl(x_all[tr_mask])
+        val_x = put_repl(x_all[va_mask])
 
     # per-config init/run keys: the main_train chain (PRNGKey(seed) ->
     # split -> k_init for init, carry rng for the step dropout keys)
@@ -336,8 +537,18 @@ def train_ae_multi(
     ever_improved = put_cfg(np.zeros(S, bool))
     lr_mult_dev = put_cfg(np.asarray(lr_mults, np.float32))
 
-    val_idx, val_m = _batched_indices(n_val, cfg.batch_size, np.arange(n_val, dtype=np.int32))
-    val_idx_j, val_m_j = jnp.asarray(val_idx), jnp.asarray(val_m)
+    # per-config validation batch streams (shared mode tiles one stream S
+    # ways — the vmapped program's validation operands always carry the
+    # config axis so per-config memberships batch under the same jit)
+    if per_config_splits:
+        pairs = [_batched_indices(n_val, cfg.batch_size, val_rows[s]) for s in range(S)]
+        val_idx_np = np.stack([p[0] for p in pairs])
+        val_m_np = np.stack([p[1] for p in pairs])
+    else:
+        vi, vm = _batched_indices(n_val, cfg.batch_size, np.arange(n_val, dtype=np.int32))
+        val_idx_np = np.ascontiguousarray(np.broadcast_to(vi, (S,) + vi.shape))
+        val_m_np = np.ascontiguousarray(np.broadcast_to(vm, (S,) + vm.shape))
+    val_idx_j, val_m_j = put_cfg(val_idx_np), put_cfg(val_m_np)
 
     host_rngs = [np.random.default_rng(s) for s in seeds]
     epochs = effective_epochs(cfg, n_train)
@@ -346,20 +557,41 @@ def train_ae_multi(
     train_hist: List[np.ndarray] = []
     val_hist: List[np.ndarray] = []
     global_step = 0
-    done = False
+    start_epoch, start_b0 = 1, 0
+    if resume_dir is not None:
+        carry_tpl = (params, opt_state, rngs, best_p, best_val, patience_ctr,
+                     lr_valid_ctr, lr_events, stopped, ever_improved)
+        loaded, meta = _load_multi_ckpt(resume_dir, carry_tpl, seeds, lr_mults,
+                                        cfg, n_train, tag=_ckpt_tag)
+        (params, opt_state, rngs, best_p, best_val, patience_ctr,
+         lr_valid_ctr, lr_events, stopped, ever_improved) = jax.tree_util.tree_map(
+            lambda a: put_cfg(np.asarray(a)), loaded)
+        start_epoch, start_b0 = meta["epoch"], meta["next_b0"]
+        global_step = meta["global_step"]
+        if meta["thist"].size:
+            train_hist.append(meta["thist"])
+        if meta["vhist"].size:
+            val_hist.append(meta["vhist"])
+    done = bool(max_steps is not None and global_step >= max_steps)
+    n_dispatches = 0
     for _epoch in range(1, epochs + 1):
         if done:
             break
-        # per-config permutation of the SHARED split (per-seed host streams)
+        # per-config permutation of the config's split (per-seed host
+        # streams) — ALWAYS drawn, so a resumed run's streams replay the
+        # epochs it skips and land on the identical state
+        perms = [
+            host_rngs[s].permutation(n_train).astype(np.int32)
+            if cfg.train_shuffle else np.arange(n_train, dtype=np.int32)
+            for s in range(S)
+        ]
+        if _epoch < start_epoch:
+            continue
         idx_all = np.zeros((S, steps_per_epoch, cfg.batch_size), np.int32)
         mask_all = np.zeros((S, steps_per_epoch, cfg.batch_size), bool)
         for s in range(S):
-            perm = (
-                host_rngs[s].permutation(n_train).astype(np.int32)
-                if cfg.train_shuffle
-                else np.arange(n_train, dtype=np.int32)
-            )
-            idx_all[s], mask_all[s] = _batched_indices(n_train, cfg.batch_size, perm)
+            rows = perms[s] if train_rows is None else train_rows[s][perms[s]]
+            idx_all[s], mask_all[s] = _batched_indices(n_train, cfg.batch_size, rows)
 
         # segment layout replicating "validate after local step 0, V, 2V, ...":
         # a segment validates only if its LAST local step is a V multiple
@@ -372,7 +604,7 @@ def train_ae_multi(
             local += n
         do_vals = [((lo + n - 1) % V) == 0 for lo, n in bounds]
 
-        b0 = 0
+        b0 = start_b0 if _epoch == start_epoch else 0
         while b0 < len(bounds) and not done:
             # group CONSECUTIVE (equal-length, same-validation) segments
             # into one dispatch
@@ -413,6 +645,22 @@ def train_ae_multi(
                 done = True
             if max_steps is not None and global_step >= max_steps:
                 done = True
+            n_dispatches += 1
+            if checkpoint_every is not None:
+                if n_dispatches % checkpoint_every == 0:
+                    _save_multi_ckpt(
+                        mask_dir,
+                        (params, opt_state, rngs, best_p, best_val,
+                         patience_ctr, lr_valid_ctr, lr_events, stopped,
+                         ever_improved),
+                        train_hist, val_hist,
+                        dict(epoch=_epoch, next_b0=b0, global_step=global_step,
+                             seeds=seeds, lr_mults=[float(m) for m in lr_mults],
+                             per_config_splits=per_config_splits,
+                             model_class=cfg.model_class,
+                             latent_size=cfg.latent_size, tag=_ckpt_tag,
+                             batch_size=cfg.batch_size, n_train=n_train),
+                    )
 
     best_p = _never_improved_fallback(best_p, params, ever_improved)
     if pad:
@@ -428,41 +676,80 @@ def train_ae_multi(
         lr_multipliers=np.asarray(lr_mults[:S_real], np.float32),
     )
     if save_runs:
-        result.run_dirs = _save_multi_runs(cfg, result, mask_dir)
+        per_cfg_masks = None
+        if per_config_splits:
+            N = len(arrays.info)
+            per_cfg_masks = []
+            for s in range(S_real):
+                m = {k: np.zeros(N, bool) for k in ("train", "val")}
+                m["train"][train_rows[s]] = True
+                m["val"][val_rows[s]] = True
+                m["test"] = per_masks[s]["test"]
+                per_cfg_masks.append(m)
+        result.run_dirs = _save_multi_runs(cfg, result, mask_dir,
+                                           per_cfg_masks=per_cfg_masks)
     return result
 
 
-def _save_multi_runs(cfg: TrainConfig, result: MultiTrainResult, mask_dir: str) -> List[str]:
+def _save_multi_runs(cfg: TrainConfig, result: MultiTrainResult, mask_dir: str,
+                     per_cfg_masks: Optional[List[dict]] = None) -> List[str]:
     """One ``main_train``-shaped run dir per configuration: the best-params
     checkpoint under the rolling-best filename ``latest_best`` globs for,
-    plus the shared split masks (``indices_{split}_*.npy``) ``main_test`` /
-    the analysis CLI read from the run dir.  The full optimizer state is
-    not written — multi-runs are not mid-run resumable (use ``main_train``
-    with ``resume_dir`` for that)."""
+    plus the split masks (``indices_{split}_*.npy``) ``main_test`` / the
+    analysis CLI read from the run dir — the shared set copied from
+    ``mask_dir``, or each config's OWN masks when ``per_cfg_masks`` is given
+    (per-config splits: a config must be tested on ITS test membership).
+    The full optimizer state is not written — use ``checkpoint_every`` /
+    ``resume_dir`` on ``train_ae_multi`` for mid-run resume."""
     from ae_waveforms_tpu.train import checkpoint as ckpt
 
     stamp = time.strftime("%y-%m-%d-%H%M%S")
-    masks = glob.glob(os.path.join(mask_dir, "indices_*_*.npy"))
+    # a reused results_dir can hold date-stamped mask sets from EARLIER
+    # runs; copy only the set split_datasets wrote/loaded for THIS run (the
+    # newest per split — main_test loads sorted(...)[0], so a stale older
+    # stamp in the run dir would silently win)
+    masks = []
+    for split in ("train", "val", "test"):
+        cands = glob.glob(os.path.join(mask_dir, f"indices_{split}_*.npy"))
+        if cands:
+            masks.append(max(cands, key=os.path.getmtime))
     mults = result.lr_multipliers
     tag_lr = mults is not None and not np.allclose(mults, 1.0)
     dirs: List[str] = []
+    seen: Dict[str, int] = {}
     for i, seed in enumerate(result.seeds):
         # latent tag first: grouped multi-latent runs can share a stamp and
         # a seed across groups (the -s / -lr suffix checks stay valid)
         name = f"{stamp}-d{cfg.latent_size}-s{seed}"
         if tag_lr:  # lr-sweep configs share seeds; the multiplier is the key
             name += f"-lr{float(mults[i]):g}"
+        # duplicate configs in one call (--seeds 3,3) must not collapse
+        # into one dir with the later checkpoint overwriting the earlier
+        n_prev = seen.get(name, 0)
+        seen[name] = n_prev + 1
+        if n_prev:
+            name += f"-i{n_prev}"
         run_dir = os.path.join(cfg.results_dir, "networks_autoencoder", name)
         os.makedirs(run_dir, exist_ok=True)
-        val = float(np.around(result.best_val[i], 4))
+        # a config whose validation never fired (max_steps below the first
+        # boundary) has best_val == inf; stamp 'final' instead — the params
+        # are the final ones via _never_improved_fallback, and latest_best's
+        # glob still matches
+        val = ("final" if not result.ever_improved[i]
+               else float(np.around(result.best_val[i], 4)))
         ckpt.save_state(
             os.path.join(run_dir, f"model_min_val_loss-{val}_params.npz"),
             result.params_for(i),
         )
-        for m in masks:
-            dest = os.path.join(run_dir, os.path.basename(m))
-            if os.path.abspath(m) != os.path.abspath(dest):
-                shutil.copy2(m, dest)
+        if per_cfg_masks is not None:
+            date = time.strftime("%y%m%d")
+            for split, m_arr in per_cfg_masks[i].items():
+                np.save(os.path.join(run_dir, f"indices_{split}_{date}"), m_arr)
+        else:
+            for m in masks:
+                dest = os.path.join(run_dir, os.path.basename(m))
+                if os.path.abspath(m) != os.path.abspath(dest):
+                    shutil.copy2(m, dest)
         dirs.append(run_dir)
     return dirs
 

@@ -212,10 +212,11 @@ def bench_multi_tpu(n_configs: int = 8, n_steps: int = 100, n_reps: int = 5) -> 
         rng_np.integers(0, n_data, size=(S, 1, n_steps, BATCH)).astype(np.int32)
     )
     mask_blk = jnp.ones((S, 1, n_steps, BATCH), bool)
-    # do_val=False: the validation operands are traced but unused
+    # do_val=False: the validation operands are traced but unused (the
+    # index/mask streams carry the config axis — per-config splits)
     val_x = data_x[:BATCH]
-    val_idx = jnp.zeros((1, BATCH), jnp.int32)
-    val_mask = jnp.zeros((1, BATCH), bool)
+    val_idx = jnp.zeros((S, 1, BATCH), jnp.int32)
+    val_mask = jnp.zeros((S, 1, BATCH), bool)
     step0s = jnp.zeros((1,), jnp.int32)
     schedule = lambda step: jnp.asarray(1e-3, jnp.float32)  # noqa: E731
 

@@ -224,6 +224,122 @@ def test_cli_latent_sizes_grouped(tmp_path):
     assert np.isfinite(test_loss)
 
 
+def test_per_config_splits_redraw_membership(setup, tmp_path):
+    """per_config_splits=True redraws the patient split UNDER EACH SEED
+    (the sequential chain: np.random.seed(seed) -> draw, main_ae.py:128-133
+    before split_datasets) — run dirs carry each config's OWN masks, the
+    memberships differ across seeds, and each equals the seed's host draw
+    (size-equalised to the smallest per-split count)."""
+    from ae_waveforms_tpu.train.data import draw_split_masks
+
+    cfg, arrays = setup
+    cfg = cfg.replace(results_dir=str(tmp_path / "percfg"))
+    res = train_ae_multi(cfg, seeds=[3, 4], arrays=arrays, max_steps=6,
+                         per_config_splits=True, save_runs=True)
+    assert len(res.run_dirs) == 2
+
+    expected = {}
+    for seed in (3, 4):
+        np.random.seed(seed)
+        expected[seed] = draw_split_masks(
+            arrays.info[:, 0], cfg.split_size_val, cfg.split_size_test)
+    n_tr = min(int(expected[s]["train"].sum()) for s in (3, 4))
+    n_va = min(int(expected[s]["val"].sum()) for s in (3, 4))
+
+    import glob as g
+    got = {}
+    for seed, run_dir in zip((3, 4), res.run_dirs):
+        got[seed] = {
+            split: np.load(g.glob(os.path.join(run_dir, f"indices_{split}_*.npy"))[0])
+            for split in ("train", "val", "test")
+        }
+        # equalised memberships are prefixes of the seed's own draw
+        exp_tr = np.flatnonzero(expected[seed]["train"])[:n_tr]
+        exp_va = np.flatnonzero(expected[seed]["val"])[:n_va]
+        np.testing.assert_array_equal(np.flatnonzero(got[seed]["train"]), exp_tr)
+        np.testing.assert_array_equal(np.flatnonzero(got[seed]["val"]), exp_va)
+        np.testing.assert_array_equal(got[seed]["test"], expected[seed]["test"])
+    # the two configs actually see different data
+    assert not np.array_equal(got[3]["train"], got[4]["train"])
+
+
+def test_per_config_single_matches_sequential_redraw(tmp_path):
+    """An S=1 per-config run IS the sequential study member: it must match
+    a shared-split run whose cfg.seed equals that seed (fresh dataset dir,
+    so split_datasets actually draws rather than loading a cached mask)."""
+    arrays = _toy_arrays(n=240, n_cases=20)
+    kw = dict(
+        model_class="LSTMAutoencoder", latent_size=3, batch_size=16,
+        epochs=2, validation_interval=3, split_size_val=0.25,
+        split_size_test=0.25, lr=3e-3, plotting=False,
+    )
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    save_arrays(arrays, d1)
+    save_arrays(arrays, d2)
+    shared = train_ae_multi(
+        TrainConfig(dataset_dir=d1, results_dir=str(tmp_path / "r1"), seed=3, **kw),
+        seeds=[3], arrays=arrays, max_steps=9)
+    percfg = train_ae_multi(
+        TrainConfig(dataset_dir=d2, results_dir=str(tmp_path / "r2"), seed=1, **kw),
+        seeds=[3], arrays=arrays, max_steps=9, per_config_splits=True)
+    np.testing.assert_allclose(percfg.train_losses, shared.train_losses,
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(percfg.val_losses, shared.val_losses,
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_multi_resume_bitcompat(setup, tmp_path):
+    """checkpoint_every + resume_dir: killing a multi-config study mid-sweep
+    and resuming from its checkpoint reproduces the uninterrupted run
+    BIT-COMPATIBLY (same host streams, same segment grouping, same device
+    programs) — on the sharded virtual mesh."""
+    cfg, arrays = setup
+    mesh = data_mesh(2)
+    rd_full = str(tmp_path / "full")
+    rd_ck = str(tmp_path / "ck")
+    full = train_ae_multi(cfg, seeds=[3, 4], arrays=arrays, max_steps=12,
+                          results_dir=rd_full, mesh=mesh)
+    part = train_ae_multi(cfg, seeds=[3, 4], arrays=arrays, max_steps=6,
+                          results_dir=rd_ck, mesh=mesh, checkpoint_every=1)
+    assert os.path.exists(os.path.join(rd_ck, "multi_checkpoint_d3.npz"))
+    resumed = train_ae_multi(cfg, seeds=[3, 4], arrays=arrays, max_steps=12,
+                             results_dir=rd_ck, mesh=mesh, checkpoint_every=1,
+                             resume_dir=rd_ck)
+    assert resumed.train_losses.shape == full.train_losses.shape
+    np.testing.assert_array_equal(resumed.train_losses, full.train_losses)
+    np.testing.assert_array_equal(resumed.val_losses, full.val_losses)
+    np.testing.assert_array_equal(resumed.best_val, full.best_val)
+    for a, b in zip(jax_leaves(resumed.best_params), jax_leaves(full.best_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the interrupted prefix matches too (the checkpoint recorded history)
+    np.testing.assert_array_equal(part.train_losses,
+                                  full.train_losses[: part.train_losses.shape[0]])
+
+
+def test_multi_resume_refuses_different_study(setup, tmp_path):
+    """A checkpoint from one study must not silently seed another: the run
+    fingerprint (seeds, lr multipliers, model, shapes) is enforced."""
+    cfg, arrays = setup
+    rd = str(tmp_path / "fp")
+    train_ae_multi(cfg, seeds=[3, 4], arrays=arrays, max_steps=3,
+                   results_dir=rd, checkpoint_every=1)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        train_ae_multi(cfg, seeds=[3, 5], arrays=arrays, max_steps=6,
+                       results_dir=rd, resume_dir=rd)
+
+
+def test_duplicate_configs_get_distinct_run_dirs(setup, tmp_path):
+    """--seeds 3,3 (duplicate configs in one call) must not collapse into
+    one run dir with the second checkpoint overwriting the first."""
+    cfg, arrays = setup
+    cfg = cfg.replace(results_dir=str(tmp_path / "dup"))
+    res = train_ae_multi(cfg, seeds=[3, 3], arrays=arrays, max_steps=3,
+                         save_runs=True)
+    assert len(res.run_dirs) == 2
+    assert len(set(res.run_dirs)) == 2
+    assert all(os.path.isdir(d) for d in res.run_dirs)
+
+
 def test_save_runs_feeds_main_test(setup):
     """save_runs=True writes main_train-shaped run dirs: main_test must
     load each config's best checkpoint and split masks unchanged."""
