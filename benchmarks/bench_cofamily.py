@@ -40,13 +40,13 @@ from ae_waveforms_tpu.train.optimizers import make_optimizer
 BATCH, SEQ, LATENT, N_STEPS, N_REPS = 128, 320, 10, 100, 5
 
 
-def _family_state(model_class: str, key):
+def _family_state(model_class: str, key, batch: int = BATCH):
     mdef = MODEL_REGISTRY[model_class]
     params = mdef.init(key, LATENT)
     opt = make_optimizer("adam", 1e-3)
     opt_state = opt.init(params)
     rng_np = np.random.default_rng(0)
-    shape = (BATCH, 1, SEQ) if mdef.channel_first else (BATCH, SEQ, 1)
+    shape = (batch, 1, SEQ) if mdef.channel_first else (batch, SEQ, 1)
     x = jnp.asarray(rng_np.standard_normal(shape), jnp.float32)
     return mdef, opt, params, opt_state, x
 
@@ -119,6 +119,18 @@ def main():
     t_c = time_chunk([conv], "conv_only")
     t_b = time_chunk([lstm, conv], "combined")
     gain = (t_l + t_c) / t_b
+    # second probe: can a BIG conv batch hide inside the LSTM scan's idle
+    # MXU?  If the combined wall equals the serial sum, the scheduler
+    # cannot interleave into the while op and the "idle MXU" is
+    # unreachable from another op's work.
+    conv_big = _family_state("LeNet5AutoencoderAvgPool", jax.random.PRNGKey(3),
+                             batch=2048)
+    t_cb = time_chunk([conv_big], "conv_b2048_only")
+    t_bb = time_chunk([lstm, conv_big], "combined_b2048")
+    print(json.dumps({
+        "probe": "big_conv_overlap",
+        "hidden_fraction": round(1.0 - (t_bb - t_l) / t_cb, 3),
+    }), flush=True)
     # effective samples/s: the combined program trains 2*BATCH samples/step
     print(json.dumps({
         "bench": "cofamily",
