@@ -49,7 +49,8 @@ onehot_f = (bins_g[:, :, None] == jnp.arange(BINS)[None, None, :]).astype(
     jnp.float32).reshape(N, F * BINS)
 
 
-def make(fake_hist=False, fake_gain=False, fake_route=False, fake_leaf=False):
+def make(fake_hist=False, fake_gain=False, fake_route=False, fake_leaf=False,
+         route_gather=False):
     def grow_tree(margin, inp):
         _, key = inp
         k_row, _ = jax.random.split(key)
@@ -99,6 +100,17 @@ def make(fake_hist=False, fake_gain=False, fake_route=False, fake_leaf=False):
 
             if fake_route:
                 node_of = 2 * node_of + (bf.sum() * 0).astype(jnp.int32)
+            elif route_gather:
+                # candidate replacement: per-row gathers of the node's
+                # split instead of the one-hot contraction — O(S*n)
+                # intermediates instead of O(S*n*n_nodes)
+                sel_f = jnp.take(bf, node_of)
+                sel_b = jnp.take(bb, node_of)
+                can = jnp.take(do_split, node_of)
+                rowbin = jnp.take_along_axis(
+                    bins_g, sel_f[:, None], axis=1)[:, 0]
+                go_right = (rowbin > sel_b).astype(jnp.int32)
+                node_of = jnp.where(can, 2 * node_of + go_right, 2 * node_of)
             else:
                 node_onehot = jax.nn.one_hot(node_of, n_nodes, dtype=jnp.float32)
                 feat_oh = jax.nn.one_hot(bf, F, dtype=jnp.float32)
@@ -134,6 +146,7 @@ for name, cfg in [
     ("fake_hist", dict(fake_hist=True)),
     ("fake_gain", dict(fake_gain=True)),
     ("fake_route", dict(fake_route=True)),
+    ("route_gather", dict(route_gather=True)),
     ("fake_leaf", dict(fake_leaf=True)),
 ]:
     fn = make(**cfg)

@@ -56,7 +56,7 @@ def run_mode(cfg, arrays, per_config: bool):
         "n_seeds": N_SEEDS,
         "best_val_median": round(float(np.median(bv)), 6),
         "best_val_std": round(float(np.std(bv)), 6),
-        "best_val_iqr": round(float(np.subtract(*np.percentile(bv, [75, 25])) * -1), 6),
+        "best_val_iqr": round(float(np.percentile(bv, 75) - np.percentile(bv, 25)), 6),
         "best_val_range": round(float(bv.max() - bv.min()), 6),
         "wall_s": round(wall, 1),
     }
