@@ -56,6 +56,7 @@ from ae_waveforms_tpu.ops.gbt_hist_pallas import (
     left_histograms,
     onehot_int8,
 )
+from ae_waveforms_tpu.ops.gbt_route_pallas import route_rows
 
 __all__ = ["GBTClassifier", "fit_gbt", "predict_margin"]
 
@@ -211,6 +212,11 @@ def _fit_gbt_margins(
     kernel_interpret = hist_impl == "pallas_interpret" or hist_impl.startswith(
         "mixed_interpret:"
     )
+    # AE_GBT_ROUTE=xla pins the XLA routing chain at every level (A/B
+    # escape hatch for the fused routing kernel; decisions are
+    # bit-identical either way).  Read at trace time: flips apply to the
+    # next process / uncompiled shape, not to already-cached programs.
+    route_pallas = os.environ.get("AE_GBT_ROUTE", "auto") != "xla"
     if pallas_levels < max_depth:
         # static one-hot bin indicators (n, F * n_bins) via direct iota
         # compare (cheaper to fuse than one_hot over shifted indices)
@@ -222,6 +228,10 @@ def _fit_gbt_margins(
         # program, level-invariant) and fuses the A-operand construction
         onehot_i8 = onehot_int8(bins, n_bins)
     bins_f = bins.astype(jnp.float32)  # bin ids <= 256 are exact even as bf16 MXU inputs
+    if pallas_levels > 0:
+        # the routing kernel streams bins in their (F, n) natural-dot layout;
+        # level-invariant, so XLA hoists the one transpose out of the scan
+        binsT = bins_f.T
     # prefix sums over the bin axis as an MXU matmul (see module docstring)
     tri = jnp.triu(jnp.ones((n_bins, n_bins), jnp.float32))  # tri[i,j]=1 if i<=j
 
@@ -313,12 +323,21 @@ def _fit_gbt_margins(
 
             # gather-free routing: each row's value of its node's split
             # feature is a one-hot contraction on the MXU
-            feat_oh = jax.nn.one_hot(bf, F, dtype=jnp.float32)  # (n_nodes, F)
-            C = bins_f @ feat_oh.T  # (n, n_nodes)
-            right = (C > bb[None, :].astype(jnp.float32) + 0.5).astype(jnp.float32)
-            go_right = (jnp.sum(node_onehot * right, axis=1) > 0.5).astype(jnp.int32)
-            splittable = (node_onehot @ do_split.astype(jnp.float32)) > 0.5
-            node_of = jnp.where(splittable, 2 * node_of + go_right, 2 * node_of)
+            if depth < pallas_levels and route_pallas:
+                # fused VMEM routing kernel: the XLA chain's (S, n, n_nodes)
+                # HBM intermediates were 40.1% of the scan body
+                # (benchmarks/bench_gbt_elim4.py); decisions bit-identical
+                node_of = route_rows(
+                    binsT, node_of, bf, bb, do_split, n_nodes=n_nodes,
+                    interpret=kernel_interpret,
+                )
+            else:
+                feat_oh = jax.nn.one_hot(bf, F, dtype=jnp.float32)  # (n_nodes, F)
+                C = bins_f @ feat_oh.T  # (n, n_nodes)
+                right = (C > bb[None, :].astype(jnp.float32) + 0.5).astype(jnp.float32)
+                go_right = (jnp.sum(node_onehot * right, axis=1) > 0.5).astype(jnp.int32)
+                splittable = (node_onehot @ do_split.astype(jnp.float32)) > 0.5
+                node_of = jnp.where(splittable, 2 * node_of + go_right, 2 * node_of)
             # rows in non-split nodes keep descending the left spine; their
             # histogram mass is self-consistent and their leaf is reached at
             # the bottom (classic fixed-shape trick: a dead node never splits
